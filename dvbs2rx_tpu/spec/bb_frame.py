@@ -1,0 +1,142 @@
+"""Baseband-frame parsing and TS packet reassembly (receive side).
+
+Numpy/host reference implementing the semantics of the reference's
+``bbdeheader_bb`` block (``lib/bbdeheader_bb_impl.cc:76-261``): BBHEADER
+validation with CRC-8, SYNCD-based resynchronization, partial-packet carry
+across BBFRAMEs, 0x47 sync restoration, and Transport-Error-Indicator marking
+on user-packet CRC failure.
+
+The device side of the receiver emits descrambled BBFRAME bytes; this parser
+performs the final ragged TS stitching on the host (SURVEY.md §7 layer 5).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .pl_defs import (
+    BB_HEADER_LENGTH_BYTES,
+    BB_HEADER_LENGTH_BITS,
+    TS_PACKET_LENGTH,
+    TS_SYNC_BYTE,
+    TRANSPORT_ERROR_INDICATOR,
+)
+from .scramblers import crc8_check
+
+
+@dataclass
+class BBHeader:
+    ts_gs: int
+    sis_mis: int
+    ccm_acm: int
+    issyi: int
+    npd: int
+    ro: int
+    isi: int
+    upl: int
+    dfl: int
+    sync: int
+    syncd: int
+
+
+@dataclass
+class BBFrameStats:
+    bbframe_cnt: int = 0
+    bbframe_drop_cnt: int = 0
+    bbframe_gap_cnt: int = 0
+    packet_cnt: int = 0
+    error_cnt: int = 0
+
+
+class BBFrameParser:
+    """Stateful BBFRAME -> TS packet reassembler."""
+
+    def __init__(self, kbch: int):
+        self.kbch_bytes = kbch // 8
+        self.max_dfl = kbch - BB_HEADER_LENGTH_BITS
+        self.synched = False
+        self.partial = np.empty(0, dtype=np.uint8)
+        self.stats = BBFrameStats()
+
+    def parse_header(self, frame: np.ndarray):
+        hdr = frame[:BB_HEADER_LENGTH_BYTES]
+        if not crc8_check(hdr):
+            return None
+        h = BBHeader(
+            ts_gs=(hdr[0] >> 6) & 0x3,
+            sis_mis=(hdr[0] >> 5) & 0x1,
+            ccm_acm=(hdr[0] >> 4) & 0x1,
+            issyi=(hdr[0] >> 3) & 0x1,
+            npd=(hdr[0] >> 2) & 0x1,
+            ro=hdr[0] & 0x3,
+            isi=int(hdr[1]) if (hdr[0] >> 5) & 0x1 == 0 else 0,
+            upl=(int(hdr[2]) << 8) | int(hdr[3]),
+            dfl=(int(hdr[4]) << 8) | int(hdr[5]),
+            sync=int(hdr[6]),
+            syncd=(int(hdr[7]) << 8) | int(hdr[8]),
+        )
+        if h.dfl > self.max_dfl or h.dfl % 8 != 0:
+            return None
+        if h.syncd > h.dfl or h.syncd % 8 != 0:
+            return None
+        if h.upl != TS_PACKET_LENGTH * 8:
+            return None
+        return h
+
+    def push(self, frame: np.ndarray) -> np.ndarray:
+        """Process one descrambled BBFRAME (kbch/8 bytes); returns TS bytes."""
+        frame = np.asarray(frame, dtype=np.uint8)
+        assert frame.size == self.kbch_bytes
+        self.stats.bbframe_cnt += 1
+        h = self.parse_header(frame)
+        if h is None:
+            self.synched = False
+            self.stats.bbframe_drop_cnt += 1
+            return np.empty(0, dtype=np.uint8)
+
+        df = frame[BB_HEADER_LENGTH_BYTES: BB_HEADER_LENGTH_BYTES + h.dfl // 8]
+        pos = 0
+
+        # Detect non-consecutive BBFRAMEs: the partial packet must be
+        # completable exactly at the signaled next UP start.
+        if self.partial.size > 0 and (
+            h.syncd // 8 != TS_PACKET_LENGTH - 1 - self.partial.size
+        ):
+            self.synched = False
+            self.stats.bbframe_gap_cnt += 1
+
+        if not self.synched:
+            pos = h.syncd // 8 + 1  # skip to first UP, drop its CRC byte
+            self.synched = True
+            self.partial = np.empty(0, dtype=np.uint8)
+
+        out = []
+        remaining = df.size - pos
+        while remaining >= TS_PACKET_LENGTH:
+            if self.partial.size > 0:
+                need = TS_PACKET_LENGTH - self.partial.size
+                packet = np.concatenate([self.partial, df[pos: pos + need]])
+                self.partial = np.empty(0, dtype=np.uint8)
+                pos += need
+            else:
+                packet = df[pos: pos + TS_PACKET_LENGTH]
+                pos += TS_PACKET_LENGTH
+            remaining = df.size - pos
+            # packet = 187 data bytes + CRC-8 of them (the replaced sync byte
+            # of the following UP). Restore 0x47 and flag CRC failures.
+            ok = crc8_check(packet)
+            ts_pkt = np.empty(TS_PACKET_LENGTH, dtype=np.uint8)
+            ts_pkt[0] = TS_SYNC_BYTE
+            ts_pkt[1:] = packet[:-1]
+            if not ok:
+                ts_pkt[1] |= TRANSPORT_ERROR_INDICATOR
+                self.stats.error_cnt += 1
+            self.stats.packet_cnt += 1
+            out.append(ts_pkt)
+
+        if remaining > 0:
+            self.partial = df[pos:].copy()
+
+        return (
+            np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
+        )
