@@ -2,13 +2,20 @@
 
 TPU hardware is used only by ``bench.py``; unit and integration tests must be
 hermetic and exercise the multi-chip sharding path on host devices.
+
+NOTE: this environment ships an ``axon`` TPU plugin that force-prepends
+itself to ``jax_platforms`` (overriding the JAX_PLATFORMS env var), so the
+config must be rewritten *after* importing jax and before any backend use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

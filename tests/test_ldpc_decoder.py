@@ -1,0 +1,78 @@
+"""LDPC decoder tests: convergence, error correction, early exit."""
+
+import numpy as np
+import pytest
+
+from dvbs2rx_tpu.spec.ldpc_tables import get_code
+from dvbs2rx_tpu.ops.ldpc import LDPCDecoder
+
+
+def _llrs_from_bits(bits, mag=16):
+    return np.where(bits > 0, -mag, mag).astype(np.int8)
+
+
+@pytest.fixture(scope="module")
+def code():
+    return get_code("S2_C4")  # short FECFRAME rate 1/2 (N=16200, K=7200)
+
+
+@pytest.fixture(scope="module")
+def decoder(code):
+    return LDPCDecoder(code, max_trials=25)
+
+
+def test_noiseless_converges_immediately(code, decoder):
+    rng = np.random.default_rng(0)
+    B = 4
+    info = rng.integers(0, 2, (B, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    hard, llrs_out, iters, ok = decoder(_llrs_from_bits(cw))
+    assert int(iters) == 0
+    assert np.all(np.asarray(ok))
+    assert np.array_equal(np.asarray(hard), cw)
+
+
+def test_corrects_noisy_llrs(code, decoder):
+    rng = np.random.default_rng(1)
+    B = 4
+    info = rng.integers(0, 2, (B, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    # BPSK over AWGN at ~1.5 dB Eb/N0 for rate 1/2 -> well within the code's
+    # correction capability; LLR = 4/N0 * amplitude, quantized int8
+    esn0_db = 1.0
+    esn0 = 10 ** (esn0_db / 10)
+    n0 = 1 / esn0
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    y = x + rng.normal(0, np.sqrt(n0 / 2), x.shape).astype(np.float32)
+    llrs = np.clip(np.rint(y * (4 / n0)), -128, 127).astype(np.int8)
+    # sanity: raw hard decisions contain errors
+    raw_ber = np.mean((llrs < 0) != cw)
+    assert raw_ber > 0.01
+    hard, _, iters, ok = decoder(llrs)
+    assert np.all(np.asarray(ok)), f"not converged after {iters} iters"
+    assert np.array_equal(np.asarray(hard), cw)
+    assert int(iters) >= 1
+
+
+def test_detects_uncorrectable(code, decoder):
+    rng = np.random.default_rng(2)
+    B = 2
+    llrs = rng.integers(-20, 20, (B, code.N)).astype(np.int8)  # pure noise
+    hard, _, iters, ok = decoder(llrs)
+    assert int(iters) == 25
+    assert not np.any(np.asarray(ok))
+
+
+def test_mixed_batch_converges_together(code, decoder):
+    """A clean frame and a noisy frame in one batch both decode correctly."""
+    rng = np.random.default_rng(3)
+    info = rng.integers(0, 2, (2, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    llrs = _llrs_from_bits(cw)
+    noisy = llrs.astype(np.int16).copy()
+    flip = rng.choice(code.N, 600, replace=False)
+    noisy[1, flip] = -noisy[1, flip] // 4  # weak wrong-sign LLRs
+    noisy = noisy.astype(np.int8)
+    hard, _, iters, ok = decoder(noisy)
+    assert np.all(np.asarray(ok))
+    assert np.array_equal(np.asarray(hard), cw)
