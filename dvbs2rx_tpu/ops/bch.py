@@ -1,0 +1,166 @@
+"""Batched BCH decoder (JAX): syndrome matmul + Berlekamp-Massey + Chien.
+
+TPU-native reformulation of the reference decoder (``lib/bch.cc:175-487``):
+
+- Syndromes: instead of streaming polynomial division, all 2t syndromes are
+  computed at once as a binary matrix product ``(r @ A) mod 2`` with the
+  precomputed bit-plane matrix of alpha powers (``spec/bch_spec.py``) — an
+  MXU matmul in float32 (exact for sums < 2^24).
+- Error-locator polynomial: Berlekamp-Massey over GF(2^m), batched across
+  frames with exp/log-table arithmetic; 2t tiny sequential steps per frame.
+- Error locations: dense Chien-style evaluation of sigma at alpha^(-e) for
+  every bit position at once (t XOR-accumulated gathers), instead of the
+  reference's per-root search.
+
+Decode failure (more than t errors) is reported per frame like the
+reference's ``-1`` return: the located roots must match deg(sigma).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import bch_spec
+from ..spec.galois import GF2m
+
+
+class BCHDecoder:
+    def __init__(self, framesize: str, t: int, nbch: int, kbch: int):
+        self.framesize = framesize
+        self.t = t
+        self.nbch = nbch
+        self.kbch = kbch
+        field = bch_spec.field_for(framesize)
+        self.m = field.m
+        self.ord = field.order - 1
+        self._exp = jnp.asarray(field.exp, jnp.int32)          # 2*(2^m-1)
+        self._log = jnp.asarray(field.log, jnp.int32)          # 2^m
+        A = bch_spec.syndrome_bit_matrix(framesize, t, nbch)
+        self._A = jnp.asarray(A, jnp.float32)                  # (nbch, 2t*m)
+        # Chien exponent table: ie[i, e] = (-(i+1)... ) see _chien
+        e = np.arange(nbch, dtype=np.int64)
+        powers = nbch - 1 - e  # polynomial power of transmitted bit position e
+        ie = np.stack(
+            [(-(powers) * i) % (field.order - 1) for i in range(1, t + 1)]
+        ).astype(np.int32)
+        self._ie = jnp.asarray(ie)                             # (t, nbch)
+        self._decode = jax.jit(self._decode_impl)
+
+    # ---- GF helpers (batched) ----
+
+    def _gf_mul(self, a, b):
+        res = self._exp[self._log[a] + self._log[b]]
+        return jnp.where((a == 0) | (b == 0), 0, res)
+
+    def _gf_inv(self, a):
+        return self._exp[(self.ord - self._log[a]) % self.ord]
+
+    # ---- stages ----
+
+    def _syndromes(self, bits):
+        """bits (B, nbch) uint8 -> syndromes (B, 2t) int32 GF elements."""
+        s_bits = jnp.dot(
+            bits.astype(jnp.float32), self._A, preferred_element_type=jnp.float32
+        )
+        s_bits = jnp.mod(s_bits.astype(jnp.int32), 2)          # (B, 2t*m)
+        s_bits = s_bits.reshape(bits.shape[0], 2 * self.t, self.m)
+        weights = (1 << jnp.arange(self.m, dtype=jnp.int32))
+        return jnp.sum(s_bits * weights[None, None, :], axis=-1)
+
+    def _berlekamp_massey(self, S):
+        """S (B, 2t) -> (sigma (B, t+1) coefficients sigma_0..sigma_t, L (B,)).
+
+        Classic BM over GF(2^m). sigma may exceed degree t for uncorrectable
+        frames; coefficients are tracked up to 2t and then truncated, with the
+        failure flagged via L > t.
+        """
+        B = S.shape[0]
+        n_steps = 2 * self.t
+        W = 2 * self.t + 1  # coefficient storage width
+
+        C0 = jnp.zeros((B, W), jnp.int32).at[:, 0].set(1)
+        Bp0 = C0
+        L0 = jnp.zeros((B,), jnp.int32)
+        m0 = jnp.ones((B,), jnp.int32)
+        b0 = jnp.ones((B,), jnp.int32)
+
+        idx = jnp.arange(W)
+
+        def step(n, carry):
+            C, Bp, L, m, b = carry
+            # discrepancy d = sum_i C[i] * S[n - i] (i = 0..W-1, masked)
+            s_idx = n - idx                                     # (W,)
+            s_val = jnp.where(
+                (s_idx >= 0) & (s_idx < n_steps),
+                S[:, jnp.clip(s_idx, 0, n_steps - 1)],
+                0,
+            )                                                   # (B, W)
+            d = jax.lax.reduce(
+                self._gf_mul(C, s_val), jnp.int32(0), jax.lax.bitwise_xor, (1,)
+            )                                                   # (B,)
+
+            coef = self._gf_mul(d, self._gf_inv(b))             # (B,)
+            # shifted = x^m * Bp: shift right by m positions (per frame)
+            roll_idx = idx[None, :] - m[:, None]                # (B, W)
+            shifted = jnp.where(
+                roll_idx >= 0,
+                jnp.take_along_axis(Bp, jnp.clip(roll_idx, 0, W - 1), axis=1),
+                0,
+            )
+            C_new = C ^ self._gf_mul(coef[:, None], shifted)
+
+            update = d != 0
+            grow = update & (2 * L <= n)
+            C_next = jnp.where(update[:, None], C_new, C)
+            Bp_next = jnp.where(grow[:, None], C, Bp)
+            L_next = jnp.where(grow, n + 1 - L, L)
+            b_next = jnp.where(grow, d, b)
+            m_next = jnp.where(grow, 1, m + 1)
+            return C_next, Bp_next, L_next, m_next, b_next
+
+        C, _, L, _, _ = jax.lax.fori_loop(0, n_steps, step, (C0, Bp0, L0, m0, b0))
+        return C[:, : self.t + 1], L
+
+    def _chien(self, sigma):
+        """sigma (B, t+1) -> (error_mask (B, nbch) bool, n_roots (B,))."""
+        B = sigma.shape[0]
+        log_sig = self._log[sigma]                              # (B, t+1)
+
+        def term(i, acc):
+            coef = sigma[:, i + 1]                              # (B,)
+            expo = (log_sig[:, i + 1][:, None] + self._ie[i][None, :]) % self.ord
+            val = jnp.where(coef[:, None] == 0, 0, self._exp[expo])
+            return acc ^ val
+
+        acc0 = jnp.ones((B, self.nbch), jnp.int32)              # sigma_0 = 1
+        vals = jax.lax.fori_loop(0, self.t, term, acc0)
+        err = vals == 0
+        return err, jnp.sum(err, axis=1).astype(jnp.int32)
+
+    def _decode_impl(self, bits):
+        B = bits.shape[0]
+        S = self._syndromes(bits)
+        clean = jnp.all(S == 0, axis=1)                         # (B,)
+        sigma, L = self._berlekamp_massey(S)
+        err_mask, n_roots = self._chien(sigma)
+        # failure: locator degree beyond t, or root count mismatch
+        fail = (~clean) & ((L > self.t) | (n_roots != L))
+        apply_mask = (~clean[:, None]) & (~fail[:, None]) & err_mask
+        corrected = bits ^ apply_mask.astype(bits.dtype)
+        n_corr = jnp.where(clean, 0, jnp.where(fail, -1, n_roots))
+        return corrected, n_corr
+
+    def __call__(self, bits):
+        """bits (B, nbch) uint8 -> (corrected bits, n_corrections (B,)).
+
+        n_corrections is -1 for uncorrectable frames (reference
+        ``bch_codec::decode`` convention).
+        """
+        return self._decode(jnp.asarray(bits, jnp.uint8))
+
+
+@functools.lru_cache(maxsize=16)
+def get_bch_decoder(framesize: str, t: int, nbch: int, kbch: int) -> BCHDecoder:
+    return BCHDecoder(framesize, t, nbch, kbch)
