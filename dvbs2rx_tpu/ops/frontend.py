@@ -1,0 +1,181 @@
+"""Waveform front end: rotator and Gardner symbol timing recovery (JAX).
+
+TPU-native reformulation of the reference blocks:
+
+- ``rotator_cc`` (``lib/rotator_cc_impl.cc``): a complex NCO applied per
+  block with the phase threaded as carry state. Scheduled phase-increment
+  updates become block-granular carry updates (SURVEY.md §3.5: the reference
+  already tolerates two-frame correction delays, so block granularity is
+  faithful).
+
+- ``symbol_sync_cc`` (``lib/symbol_sync_cc_impl.cc``): Gardner TED + PI loop
+  + modulo-1 decrementing counter (Rice Ch. 8), with the polyphase RRC
+  matched-filter interpolator: the loop picks one of ``n_subfilt``
+  phase-offset RRC subfilters per strobe, fusing matched filtering,
+  decimation, and fractional interpolation into one dot product. The
+  per-strobe recurrence is inherently sequential -> ``lax.scan`` over output
+  symbols, vmappable over a channel axis for batched receivers.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec.rrc import polyphase_rrc_bank
+
+
+def rotate_block(iq, phase0, phase_inc):
+    """Frequency-shift a block: iq * exp(j*(phase0 + phase_inc*n)).
+
+    Returns (rotated, next_phase) with the phase wrapped for numerical
+    stability across unbounded streams.
+    """
+    n = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+    ph = phase0 + phase_inc * n
+    out = iq * jnp.exp(1j * ph.astype(jnp.float32))
+    next_phase = jnp.mod(phase0 + phase_inc * iq.shape[-1], 2 * jnp.pi)
+    return out.astype(jnp.complex64), next_phase
+
+
+def gted_gain(rolloff: float) -> float:
+    """Gardner TED gain from the S-curve slope at the origin (reference
+    ``symbol_sync_cc_impl.cc:156-171``, Rice Eq. 8.47 with K=1, Eavg=1)."""
+    L = 1e3
+    C = np.sin(np.pi * rolloff / 2) / (4 * np.pi * (1 - (rolloff * rolloff / 4)))
+    delta_x = 2.0 / L
+    delta_y = 8 * C * np.sin(2 * np.pi / L)
+    return delta_y / delta_x
+
+
+def pi_constants(sps: float, loop_bw: float, damping: float, rolloff: float):
+    """PI loop constants K1, K2 (reference ``symbol_sync_cc_impl.cc:173-199``,
+    Rice Eqs. C.56/C.60). loop_bw is Bn*Ts (normalized to the symbol rate)."""
+    Kp = gted_gain(rolloff)
+    Bn_T = loop_bw / sps
+    theta_n = Bn_T / (damping + (1.0 / (4 * damping)))
+    denom = 1 + 2 * damping * theta_n + theta_n * theta_n
+    Kp_K0_K1 = (4 * damping * theta_n) / denom
+    Kp_K0_K2 = (4 * theta_n * theta_n) / denom
+    K0 = -1.0  # decrementing counter
+    return Kp_K0_K1 / (Kp * K0), Kp_K0_K2 / (Kp * K0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SymbolSyncState:
+    cnt: jnp.ndarray      # modulo-1 counter (f64 semantics kept in f32 x2: hi part)
+    mu: jnp.ndarray       # fractional timing offset
+    vi: jnp.ndarray       # PI integrator
+    jump: jnp.ndarray     # samples to jump to the next strobe (int32)
+    last_xi: jnp.ndarray  # previous output interpolant (complex64)
+    n: jnp.ndarray        # absolute index of the last processed sample within
+                          # the current buffer (int32); see consumed()
+
+    def tree_flatten(self):
+        return (self.cnt, self.mu, self.vi, self.jump, self.last_xi, self.n), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class SymbolSync:
+    """Gardner symbol synchronizer with a polyphase RRC matched filter.
+
+    ``step(state, samples, n_out)`` consumes ~``n_out * sps`` samples and
+    emits exactly ``n_out`` symbols. The caller keeps a sample ring buffer:
+    feed a window with ``history()`` old samples at the front, then drop
+    ``consumed(state)`` samples after each call.
+    """
+
+    def __init__(self, sps=2, loop_bw=0.01, damping=1.0, rolloff=0.2,
+                 rrc_delay=5, n_subfilt=128):
+        if sps < 2 or int(sps) != sps or int(sps) % 2 != 0:
+            raise ValueError("sps must be an even integer >= 2")
+        self.sps = int(sps)
+        self.midpoint = self.sps // 2
+        bank, self.subfilt_len, self.subfilt_delay = polyphase_rrc_bank(
+            sps, rolloff, rrc_delay, n_subfilt
+        )
+        self.n_subfilt = n_subfilt
+        self._bank = jnp.asarray(bank)  # (n_subfilt, L) reversed taps
+        self.K1, self.K2 = pi_constants(sps, loop_bw, damping, rolloff)
+        self._history = self.subfilt_len - 2 + self.midpoint
+        self._step = jax.jit(self._step_impl, static_argnums=(2,))
+
+    def history(self) -> int:
+        return self._history
+
+    def init_state(self) -> SymbolSyncState:
+        f = jnp.float32
+        return SymbolSyncState(
+            cnt=jnp.asarray(1.0 - 1.0 / self.sps, f),
+            mu=jnp.asarray(0.0, f),
+            vi=jnp.asarray(0.0, f),
+            jump=jnp.asarray(self.sps, jnp.int32),
+            last_xi=jnp.asarray(0.0 + 0.0j, jnp.complex64),
+            n=jnp.asarray(self._history - 1 + 2, jnp.int32),
+        )
+
+    def consumed(self, state: SymbolSyncState, prev_n) -> jnp.ndarray:
+        """Samples consumed in the last call given the carried ``n`` values."""
+        return state.n - prev_n
+
+    def _interp(self, samples, m_k, mu):
+        """Polyphase interpolant at basepoint m_k with fractional offset mu."""
+        idx_subfilt = jnp.clip(
+            jnp.floor(self.n_subfilt * mu).astype(jnp.int32), 0, self.n_subfilt - 1
+        )
+        taps = jax.lax.dynamic_index_in_dim(self._bank, idx_subfilt, keepdims=False)
+        start = m_k + 2 - self.subfilt_len
+        window = jax.lax.dynamic_slice_in_dim(samples, start, self.subfilt_len)
+        return jnp.sum(window * taps)
+
+    def _step_impl(self, state: SymbolSyncState, samples, n_out: int):
+        nominal_step = 1.0 / self.sps
+        K1, K2 = self.K1, self.K2
+
+        def body(carry, _):
+            cnt, mu, vi, jump, last_xi, n = carry
+            n = n + jump
+            m_k = n - 1
+            out_k = self._interp(samples, m_k, mu)
+            x_zc = self._interp(samples, m_k - self.midpoint, mu)
+            e = x_zc.real * (last_xi.real - out_k.real) + x_zc.imag * (
+                last_xi.imag - out_k.imag
+            )
+            vp = K1 * e
+            vi = vi + K2 * e
+            pi_out = vp + vi
+            W1 = nominal_step + pi_out
+            W2 = nominal_step + vi
+            jump = (jnp.floor((cnt - W1) / W2) + 2).astype(jnp.int32)
+            cnt_basepoint = cnt - W1 - (jump - 2).astype(jnp.float32) * W2
+            mu_multi = cnt_basepoint / W2
+            cnt_multi = cnt_basepoint - W2 + 1.0
+            mu_single = cnt / W1
+            cnt_single = cnt - W1 + 1.0
+            single = jump <= 1
+            mu = jnp.where(single, mu_single, mu_multi)
+            cnt = jnp.where(single, cnt_single, cnt_multi)
+            mu = jnp.clip(mu, 0.0, 1.0 - 1e-6)
+            return (cnt, mu, vi, jump, out_k, n), out_k
+
+        init = (state.cnt, state.mu, state.vi, state.jump, state.last_xi, state.n)
+        (cnt, mu, vi, jump, last_xi, n), symbols = jax.lax.scan(
+            body, init, None, length=n_out
+        )
+        new_state = SymbolSyncState(cnt, mu, vi, jump, last_xi, n)
+        return new_state, symbols
+
+    def step(self, state: SymbolSyncState, samples, n_out: int):
+        """Process a sample window; returns (state', symbols[n_out]).
+
+        ``samples`` must contain at least ``history() + n_out*sps + slack``
+        samples. The first interpolant of a fresh state reproduces the
+        reference's startup convention (first strobe at n = history + 1).
+        """
+        return self._step(state, jnp.asarray(samples, jnp.complex64), n_out)
