@@ -1,0 +1,105 @@
+"""Soft constellation demapping + deinterleaving (JAX, batched).
+
+Device-side counterpart of ``spec/constellations.py`` (reference
+``lib/xfecframe_demapper_cb_impl.cc``): XFECFRAME symbols -> int8 LLRs in
+codeword order, plus the data-aided SNR estimator used to set the LLR scale.
+LLR sign convention: positive = bit 0.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec.constellations import (
+    BITS_PER_SYMBOL,
+    SIN_PI_8,
+    SQRT2_2,
+    constellation_points,
+)
+from ..spec.interleaver import column_order
+
+
+def _quantize(vals):
+    return jnp.clip(jnp.round(vals), -128, 127).astype(jnp.int8)
+
+
+def estimate_snr_qpsk(syms):
+    """Data-aided linear SNR from sliced QPSK symbols (batched over ...)."""
+    s = SQRT2_2
+    ref = jnp.sign(jnp.real(syms)) * s + 1j * jnp.sign(jnp.imag(syms)) * s
+    sp = jnp.sum(jnp.abs(ref) ** 2, axis=-1)
+    np_ = jnp.sum(jnp.abs(syms - ref) ** 2, axis=-1)
+    return sp / jnp.maximum(np_, 1e-12)
+
+
+def estimate_snr_generic(syms, constellation, rate):
+    pts = jnp.asarray(constellation_points(constellation, rate))
+    d2 = jnp.abs(syms[..., None] - pts) ** 2
+    idx = jnp.argmin(d2, axis=-1)
+    ref = pts[idx]
+    sp = jnp.sum(jnp.abs(ref) ** 2, axis=-1)
+    np_ = jnp.sum(jnp.abs(syms - ref) ** 2, axis=-1)
+    return sp / jnp.maximum(np_, 1e-12)
+
+
+def demap_qpsk(syms, n0):
+    """(..., n_syms) -> (..., 2*n_syms) int8 LLRs; scale 2*sqrt(2)/N0."""
+    scale = (2.0 * np.sqrt(2.0) / n0)[..., None]
+    re = jnp.real(syms) * scale
+    im = jnp.imag(syms) * scale
+    return _quantize(jnp.stack([re, im], axis=-1).reshape(syms.shape[:-1] + (-1,)))
+
+
+def demap_8psk(syms, n0):
+    """8PSK soft demap with the reference's rotated-axes formulation."""
+    precision = (4.0 / n0)[..., None]
+    dist = 2.0 * SIN_PI_8
+    c = syms * np.exp(-1j * np.pi / 8).astype(np.complex64)
+    b1 = jnp.real(c)
+    b2 = jnp.imag(c)
+    b0 = SQRT2_2 * (jnp.abs(jnp.real(c)) - jnp.abs(jnp.imag(c)))
+    vals = jnp.stack([b0, b1, b2], axis=-1) * (dist * precision)[..., None]
+    return _quantize(vals.reshape(syms.shape[:-1] + (-1,)))
+
+
+def demap_maxlog(syms, n0, constellation, rate):
+    """Max-log-MAP LLRs for APSK constellations."""
+    n_mod = BITS_PER_SYMBOL[constellation]
+    pts = jnp.asarray(constellation_points(constellation, rate))
+    d2 = jnp.abs(syms[..., None] - pts) ** 2  # (..., n_syms, n_points)
+    idx = np.arange(pts.shape[0])
+    llrs = []
+    for b in range(n_mod):
+        bit = (idx >> (n_mod - 1 - b)) & 1
+        m0 = jnp.min(jnp.where(bit == 0, d2, jnp.inf), axis=-1)
+        m1 = jnp.min(jnp.where(bit == 1, d2, jnp.inf), axis=-1)
+        llrs.append((m1 - m0) / n0[..., None])
+    vals = jnp.stack(llrs, axis=-1)
+    return _quantize(vals.reshape(syms.shape[:-1] + (-1,)))
+
+
+def deinterleave_llrs(llrs, constellation, rate):
+    """Symbol-ordered LLRs -> codeword-ordered LLRs (batched)."""
+    order = column_order(constellation, rate)
+    if order is None:
+        return llrs
+    n_mod = len(order)
+    rows = llrs.shape[-1] // n_mod
+    per_sym = llrs.reshape(llrs.shape[:-1] + (rows, n_mod))
+    inv = np.argsort(np.asarray(order))  # column c comes from symbol bit inv[c]
+    cols = [per_sym[..., :, int(np.where(np.asarray(order) == c)[0][0])]
+            for c in range(n_mod)]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def demap(syms, n0, constellation, rate):
+    """Full demapper: symbols -> codeword-ordered int8 LLRs."""
+    if constellation == "QPSK":
+        llrs = demap_qpsk(syms, n0)
+    elif constellation == "8PSK":
+        llrs = demap_8psk(syms, n0)
+    else:
+        llrs = demap_maxlog(syms, n0, constellation, rate)
+    return deinterleave_llrs(llrs, constellation, rate)

@@ -1,0 +1,484 @@
+"""DVB-S2 receiver: IQ samples in, MPEG TS bytes out.
+
+TPU-native redesign of the reference receive chain (``apps/dvbs2-rx:832-935``):
+instead of one thread per block with ring buffers, the receiver runs a host
+streaming loop around jitted, batched device stages:
+
+    rotator (closed-loop CFO carry) -> Gardner symbol sync (lax.scan)
+    -> dense SOF/PLSC frame sync -> PLSC decode -> coarse/fine freq sync
+    -> PL descrambling + phase correction -> soft demap -> LDPC (layered
+    min-sum) -> BCH -> BB descrambling -> BBHEADER parse/TS stitch (host)
+
+Cross-block control that the reference does with asynchronous PMT messages
+(plsync -> rotator frequency updates) is carried as block-granular state: the
+frequency correction estimated from frame group k is applied to the sample
+stream of group k+1 (the reference already tolerates a two-frame correction
+delay, ``lib/plsync_cc_impl.cc:394-402``).
+
+Architectural invariants preserved from the reference (SURVEY.md §3.2):
+- payload n is processed only after PLHEADER n+1 (two-SOF rule)
+- coarse corrections feed the rotator only until coarse-corrected; then the
+  fine estimator takes over
+- frame-lock state machine: searching -> found -> locked, with unlock after
+  ``unlock_thresh`` consecutive weak timing metrics
+"""
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import pl_defs
+from ..spec.pls import PLSInfo, parse_pls, make_pls
+from ..spec.fec_params import get_fec_info, FECInfo, DVBS2_MODCODS, MODCOD_NUMBERS
+from ..spec.bb_frame import BBFrameParser
+from ..spec.scramblers import bb_derandomizer_bytes, pl_descrambling_sequence
+from ..ops import plsync
+from ..ops.frontend import SymbolSync, rotate_block
+from ..ops.demap import demap, estimate_snr_qpsk, estimate_snr_generic
+from ..ops.ldpc import LDPCDecoder
+from ..ops.bch import BCHDecoder
+from ..spec.ldpc_tables import get_code
+
+
+@dataclass
+class RxConfig:
+    modcod: str = "qpsk1/4"
+    frame_size: str = "normal"
+    pilots: bool = False
+    rolloff: float = 0.2
+    sps: int = 2
+    gold_code: int = 0
+    sym_sync_loop_bw: float = 0.01
+    damping: float = 1.0
+    rrc_delay: int = 5
+    n_subfilt: int = 128
+    ldpc_max_trials: int = 25
+    fec_batch: int = 8            # frames decoded together (SIMD-lane analog)
+    coarse_period: int = 30       # frames per coarse CFO estimate (reference
+                                  # --pl-freq-est-period default)
+    unlock_thresh: int = 3
+    closed_loop: bool = True
+
+    def __post_init__(self):
+        key = self.modcod.lower()
+        if key not in MODCOD_NUMBERS:
+            raise ValueError(f"Unknown MODCOD {self.modcod!r}")
+        self.modcod_num = MODCOD_NUMBERS[key]
+        self.constellation, self.rate = DVBS2_MODCODS[self.modcod_num]
+        self.pls = make_pls(self.modcod_num, self.frame_size == "short", self.pilots)
+        self.pls_info: PLSInfo = parse_pls(self.pls)
+        self.fec: FECInfo = get_fec_info(self.frame_size, self.rate)
+
+
+@dataclass
+class RxStats:
+    locked: bool = False
+    sof_cnt: int = 0
+    frame_cnt: int = 0
+    rejected_cnt: int = 0
+    dummy_cnt: int = 0
+    lock_cnt: int = 0
+    unlock_cnt: int = 0
+    coarse_foffset: float = 0.0
+    fine_foffset: float = 0.0
+    cum_freq_offset: float = 0.0
+    coarse_corrected: bool = False
+    snr_db: float = 0.0
+    ldpc_frames: int = 0
+    ldpc_total_iters: int = 0
+    bch_frames: int = 0
+    bch_frame_errors: int = 0
+    bch_corrections: int = 0
+
+    def as_dict(self):
+        d = dict(self.__dict__)
+        d["ldpc_avg_iters"] = (
+            self.ldpc_total_iters / self.ldpc_frames if self.ldpc_frames else 0.0
+        )
+        return d
+
+
+class Receiver:
+    def __init__(self, cfg: RxConfig):
+        self.cfg = cfg
+        info = cfg.pls_info
+        self.frame_len = info.plframe_len
+        self.payload_len = info.payload_len
+
+        self.sym_sync = SymbolSync(
+            sps=cfg.sps,
+            loop_bw=cfg.sym_sync_loop_bw,
+            damping=cfg.damping,
+            rolloff=cfg.rolloff,
+            rrc_delay=cfg.rrc_delay,
+            n_subfilt=cfg.n_subfilt,
+        )
+        self.ldpc = LDPCDecoder(get_code(cfg.fec.ldpc_table), cfg.ldpc_max_trials)
+        self.bch = BCHDecoder(
+            cfg.fec.framesize, cfg.fec.t, cfg.fec.nbch, cfg.fec.kbch
+        )
+        self.bb_parser = BBFrameParser(cfg.fec.kbch)
+        self._bb_scramble = bb_derandomizer_bytes(cfg.fec.kbch // 8)
+        self._descramble = jnp.asarray(
+            pl_descrambling_sequence(cfg.gold_code)[: self.payload_len]
+        )
+        self._frame_group = jax.jit(
+            self._frame_group_impl, static_argnames=("n_frames",)
+        )
+        self._fec_stage = jax.jit(self._fec_stage_impl)
+        self.reset()
+
+    # ------------- state -------------
+
+    def reset(self):
+        self.stats = RxStats()
+        self._samp_buf = np.empty(0, dtype=np.complex64)
+        self._sym_buf = np.empty(0, dtype=np.complex64)
+        self._ss_state = self.sym_sync.init_state()
+        self._rot_phase = 0.0
+        self._rot_inc = 0.0          # per-sample phase increment (closed loop)
+        self._lock_state = "searching"
+        self._frame_phase = 0        # symbol-buffer index of the next SOF
+        self._unlock_cnt = 0
+        self._coarse_acc = np.zeros(89, dtype=np.complex64)
+        self._coarse_frames = 0
+        self._coarse_foffset = 0.0
+        self._coarse_corrected = False
+        self._fine_foffset = 0.0
+        self._cum_foffset = 0.0
+        self._settle_frames = 0   # frames to drain before the next closed-loop
+                                  # accumulation (pipeline-latency guard)
+        self._n0 = None
+        self._llr_queue = []
+        self.bb_parser = BBFrameParser(self.cfg.fec.kbch)
+
+    # ------------- public API -------------
+
+    def receive(self, iq: np.ndarray, flush: bool = True) -> np.ndarray:
+        """Process IQ samples (complex64 at sps samples/symbol); returns TS
+        bytes recovered so far. With ``flush``, decode any queued FEC frames
+        even if the batch is not full.
+
+        Input is internally re-chunked to about two PLFRAMEs of samples so
+        closed-loop frequency corrections take effect promptly even when the
+        caller hands over one huge buffer."""
+        iq = np.asarray(iq, dtype=np.complex64)
+        chunk = 2 * self.frame_len * self.cfg.sps
+        out = []
+        for i in range(0, max(iq.size, 1), chunk):
+            out.append(self._process_chunk(iq[i: i + chunk]))
+        if flush:
+            out.append(self._flush_fec())
+        return np.concatenate(out) if out else np.empty(0, np.uint8)
+
+    # ------------- host pipeline -------------
+
+    def _process_chunk(self, iq) -> np.ndarray:
+        iq = np.asarray(iq, dtype=np.complex64)
+        self._samp_buf = np.concatenate([self._samp_buf, iq])
+        self._run_frontend()
+        ts = []
+        progress = True
+        while progress:
+            progress = False
+            if self._lock_state != "locked":
+                progress = self._acquire()
+            if self._lock_state == "locked":
+                got = self._process_frames()
+                if got:
+                    progress = True
+            ts.append(self._drain_fec())
+        return np.concatenate(ts) if ts else np.empty(0, np.uint8)
+
+    def _run_frontend(self):
+        """Rotate + symbol-sync as much of the sample buffer as possible."""
+        hist = self.sym_sync.history()
+        navail = self._samp_buf.size
+        n_out = max(0, (navail - hist - 64) // self.cfg.sps)
+        if n_out < 256:
+            return
+        # closed-loop rotator (frequency correction on raw samples)
+        rotated, self._rot_phase = rotate_block(
+            self._samp_buf[: navail], self._rot_phase, self._rot_inc
+        )
+        prev_n = int(self._ss_state.n)
+        state, syms = self.sym_sync.step(self._ss_state, rotated, n_out)
+        consumed = int(state.n) + 1 - hist
+        # rebase the carried absolute index onto the trimmed buffer
+        import dataclasses
+
+        self._ss_state = dataclasses.replace(
+            state, n=state.n - consumed
+        )
+        self._rot_phase = float(
+            (self._rot_phase - self._rot_inc * (navail - consumed)) % (2 * np.pi)
+        )
+        self._samp_buf = self._samp_buf[consumed:]
+        self._sym_buf = np.concatenate([self._sym_buf, np.asarray(syms)])
+
+    # ------------- acquisition -------------
+
+    def _acquire(self) -> bool:
+        if self._sym_buf.size < 2 * self.frame_len + 181:
+            return False
+        hist = np.zeros(90, dtype=np.complex64)
+        metric, _, _ = plsync.timing_metric(jnp.asarray(self._sym_buf), jnp.asarray(hist))
+        metric = np.asarray(metric)
+        peak = int(np.argmax(metric[: self.frame_len + 90]))
+        if metric[peak] < plsync.THRESHOLD_UNLOCKED:
+            # no SOF in this window; drop all but the tail
+            keep = self.frame_len + 180
+            self._sym_buf = self._sym_buf[-keep:]
+            return False
+        # confirm the next SOF one frame later
+        nxt = peak + self.frame_len
+        if nxt >= metric.size:
+            return False  # need more symbols
+        if metric[nxt] < plsync.THRESHOLD_LOCKED:
+            # false alarm; discard past this peak and retry
+            self._sym_buf = self._sym_buf[peak + 1:]
+            return True
+        sof_start = peak - 89
+        if sof_start < 0:
+            self._sym_buf = self._sym_buf[peak + 1:]
+            return True
+        self._lock_state = "locked"
+        self.stats.lock_cnt += 1
+        self._unlock_cnt = 0
+        self._frame_phase = sof_start
+        self.stats.sof_cnt += 2
+        return True
+
+    # ------------- locked-path processing -------------
+
+    def _process_frames(self) -> bool:
+        """Extract and process all complete frames in the symbol buffer.
+
+        Needs the next frame's header as lookahead (two-SOF rule), i.e.
+        ``frame_phase + (k+1)*frame_len + 90`` symbols for k+1 frames.
+        """
+        F = (self._sym_buf.size - self._frame_phase - 90) // self.frame_len - 0
+        F = min(F, 32)
+        if F <= 0:
+            return False
+        fp = self._frame_phase
+        L = self.frame_len
+        # frames + one-header lookahead, plus one symbol before each SOF for
+        # the differential metric
+        idx = fp + np.arange(F + 1)[:, None] * L + np.arange(-1, 90)[None, :]
+        idx = np.clip(idx, 0, self._sym_buf.size - 1)
+        headers_ext = self._sym_buf[idx]                       # (F+1, 91)
+        payloads = self._sym_buf[
+            fp + 90 + np.arange(F)[:, None] * L + np.arange(self.payload_len)[None, :]
+        ]                                                      # (F, payload)
+
+        out = self._frame_group(
+            jnp.asarray(headers_ext),
+            jnp.asarray(payloads),
+            jnp.asarray(self._coarse_corrected),
+            n_frames=F,
+        )
+        metrics = np.asarray(out["metric"])                    # (F+1,)
+        n0 = float(out["n0"])
+        autocorr = np.asarray(out["autocorr"])                 # (F, 89)
+        fine = np.asarray(out["fine"])                         # (F,)
+
+        # ---- lock maintenance (host state machine) ----
+        for k in range(F):
+            self.stats.sof_cnt += 1
+            if metrics[k] > plsync.THRESHOLD_LOCKED:
+                self._unlock_cnt = 0
+            else:
+                self._unlock_cnt += 1
+                if self._unlock_cnt >= self.cfg.unlock_thresh:
+                    self._lock_state = "searching"
+                    self.stats.unlock_cnt += 1
+                    self._sym_buf = self._sym_buf[self._frame_phase + (k + 1) * L:]
+                    self._frame_phase = 0
+                    self._unlock_cnt = 0
+                    return True
+            self.stats.frame_cnt += 1
+
+        # ---- frequency tracking (block-granular closed loop) ----
+        # Coarse: accumulate the modulation-removed PLHEADER autocorrelation
+        # over ``coarse_period`` frames before finalizing an estimate
+        # (reference freq_sync::estimate_coarse accumulation semantics).
+        new_coarse = False
+        for k in range(F):
+            if self._settle_frames > 0:
+                # this frame's symbols predate the last rotator update; its
+                # autocorrelation measures the old residual - skip it
+                self._settle_frames -= 1
+                continue
+            self._coarse_acc += autocorr[k]
+            self._coarse_frames += 1
+            if self._coarse_frames >= self.cfg.coarse_period:
+                est = float(
+                    plsync.coarse_foffset_from_autocorr(
+                        jnp.asarray(self._coarse_acc)
+                    )
+                )
+                self._coarse_foffset = est
+                self._coarse_corrected = (
+                    abs(est) < plsync.FINE_FOFFSET_CORR_RANGE
+                )
+                self._coarse_acc[:] = 0
+                self._coarse_frames = 0
+                new_coarse = True
+        self.stats.coarse_corrected = self._coarse_corrected
+        self.stats.coarse_foffset = self._coarse_foffset
+        self._fine_foffset = float(fine[-1])
+        self.stats.fine_foffset = self._fine_foffset
+
+        # Closed-loop rotator updates. A new adjustment is only accumulated
+        # once the symbols produced *before* the previous adjustment have
+        # drained (frames still in flight measured the old residual - the
+        # analog of the reference's scheduled updates + tag calibration).
+        if self.cfg.closed_loop and self._settle_frames <= 0:
+            adj = 0.0
+            if not self._coarse_corrected:
+                if new_coarse:
+                    adj = self._coarse_foffset
+            else:
+                adj = float(fine[-1])
+            if adj != 0.0:
+                self._cum_foffset += adj
+                self._rot_inc = -self._cum_foffset * 2 * np.pi / self.cfg.sps
+                in_flight = (
+                    self._sym_buf.size
+                    - (self._frame_phase + F * L)
+                    + self._samp_buf.size // self.cfg.sps
+                )
+                self._settle_frames = in_flight // self.frame_len + 2
+                # the accumulated autocorrelation refers to the old residual
+                self._coarse_acc[:] = 0
+                self._coarse_frames = 0
+        self.stats.cum_freq_offset = self._cum_foffset
+        self._n0 = n0
+        self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
+
+        # ---- queue LLRs for FEC ----
+        llrs = np.asarray(out["llrs"])                         # (F, nldpc)
+        for k in range(F):
+            self._llr_queue.append(llrs[k])
+
+        self._sym_buf = self._sym_buf[self._frame_phase + F * L:]
+        self._frame_phase = 0
+        return True
+
+    def _frame_group_impl(self, headers_ext, payloads, coarse_corrected, n_frames):
+        """Jitted per-group processing: metric, sync, correction, demap."""
+        cfg = self.cfg
+        info = cfg.pls_info
+        headers = headers_ext[:, 1:]                           # (F+1, 90)
+
+        # timing metric at the expected peak of each frame
+        d = jnp.conj(headers_ext[:, 1:]) * headers_ext[:, :-1]  # (F+1, 90)
+        k_sof, k_plsc = plsync._frame_sync_kernels()
+        # metric position n = SOF+89 uses d[n-i] = d within this window:
+        # d[f+89-i] = d_window[89-i] -> dot with kernels reversed
+        sof_c = jnp.einsum("fk,k->f", d[:, 1:], jnp.asarray(k_sof[::-1].copy()))
+        plsc_c = jnp.einsum("fk,k->f", d[:, 1:], jnp.asarray(k_plsc[::-1].copy()))
+        metric = jnp.maximum(jnp.abs(sof_c + plsc_c), jnp.abs(sof_c - plsc_c))
+
+        pls = jnp.full((n_frames + 1,), cfg.pls, jnp.int32)   # CCM: known PLS
+
+        # coarse CFO autocorrelation contribution per frame (full PLHEADER,
+        # known PLS); the host accumulates over the estimation period
+        r = plsync.coarse_autocorr(headers[:n_frames], pls[:n_frames], full=True)
+
+        hdr_phase = plsync.plheader_phase(headers, pls)        # (F+1,)
+
+        payloads_d = payloads * self._descramble[None, :]
+
+        if info.has_pilots:
+            fine = plsync.fine_foffset_pilot_mode(
+                headers[:n_frames], payloads_d, pls[:n_frames], info.n_pilots
+            )
+            pil_ph = plsync.pilot_phases(payloads_d, info.n_pilots)
+            fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+            xfec = plsync.correct_payload_pilots(
+                payloads_d,
+                hdr_phase[:n_frames],
+                pil_ph,
+                fine_ff,
+                info.n_slots,
+                info.n_pilots,
+            )
+        else:
+            fine = plsync.fine_foffset_pilotless(
+                hdr_phase[:n_frames], hdr_phase[1:], info.plframe_len
+            )
+            fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+            xfec = plsync.correct_payload_pilotless(
+                payloads_d, hdr_phase[:n_frames], fine_ff
+            )
+
+        # SNR estimate from the first frame's data symbols
+        if cfg.constellation == "QPSK":
+            snr_lin = estimate_snr_qpsk(xfec[0])
+        else:
+            snr_lin = estimate_snr_generic(xfec[0], cfg.constellation, cfg.rate)
+        n0 = 1.0 / jnp.maximum(snr_lin, 1e-9)
+
+        llrs = demap(
+            xfec, jnp.broadcast_to(n0, (n_frames,)), cfg.constellation, cfg.rate
+        )
+        return {
+            "metric": metric,
+            "autocorr": r,
+            "fine": fine,
+            "xfec": xfec,
+            "n0": n0,
+            "llrs": llrs,
+        }
+
+    # ------------- FEC -------------
+
+    def _fec_stage_impl(self, llrs):
+        hard, llrs_out, iters, ok = self.ldpc._decode_impl(llrs)
+        bch_in = hard[:, : self.cfg.fec.nbch]
+        corrected, n_corr = self.bch._decode_impl(bch_in)
+        kbits = corrected[:, : self.cfg.fec.kbch]
+        kbytes = jnp.sum(
+            kbits.reshape(kbits.shape[0], -1, 8)
+            * (1 << jnp.arange(7, -1, -1, dtype=jnp.uint8))[None, None, :],
+            axis=-1,
+        ).astype(jnp.uint8)
+        return kbytes, n_corr, iters, ok
+
+    def _drain_fec(self) -> np.ndarray:
+        out = []
+        B = self.cfg.fec_batch
+        while len(self._llr_queue) >= B:
+            batch = np.stack(self._llr_queue[:B])
+            del self._llr_queue[:B]
+            out.append(self._decode_batch(batch))
+        return np.concatenate(out) if out else np.empty(0, np.uint8)
+
+    def _flush_fec(self) -> np.ndarray:
+        if not self._llr_queue:
+            return np.empty(0, np.uint8)
+        # pad to the batch size with a repeat of the last frame
+        B = self.cfg.fec_batch
+        n = len(self._llr_queue)
+        batch = np.stack(self._llr_queue + [self._llr_queue[-1]] * (B - n))
+        self._llr_queue = []
+        return self._decode_batch(batch, valid=n)
+
+    def _decode_batch(self, batch, valid=None) -> np.ndarray:
+        valid = batch.shape[0] if valid is None else valid
+        kbytes, n_corr, iters, ok = self._fec_stage(jnp.asarray(batch))
+        kbytes = np.asarray(kbytes)[:valid]
+        n_corr = np.asarray(n_corr)[:valid]
+        self.stats.ldpc_frames += valid
+        self.stats.ldpc_total_iters += int(iters) * valid
+        self.stats.bch_frames += valid
+        self.stats.bch_frame_errors += int(np.sum(n_corr < 0))
+        self.stats.bch_corrections += int(np.sum(np.maximum(n_corr, 0)))
+        ts = []
+        for row in kbytes:
+            ts.append(self.bb_parser.push(row ^ self._bb_scramble))
+        return np.concatenate(ts) if ts else np.empty(0, np.uint8)

@@ -1,0 +1,114 @@
+"""End-to-end loopback: Tx -> channel -> Rx, bit-exact TS recovery.
+
+The de facto system test mirroring the reference's ``cat ts | dvbs2-tx |
+dvbs2-rx`` oracle (SURVEY.md §4 tier 3). Uses short FECFRAMEs to keep CPU
+compile/run time down; the normal-frame path shares all the same code.
+"""
+
+import numpy as np
+import pytest
+
+from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
+from dvbs2rx_tpu.rx.receiver import Receiver, RxConfig
+
+
+def make_ts(n_packets, seed=0):
+    rng = np.random.default_rng(seed)
+    pkts = rng.integers(0, 256, (n_packets, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    pkts[:, 1] &= 0x7F
+    return pkts.reshape(-1)
+
+
+def run_loopback(modcod="qpsk1/2", frame_size="short", pilots=False,
+                 esn0_db=15.0, freq_offset=0.0, n_pkts=None, seed=0,
+                 rx_kwargs=None):
+    tx_cfg = TxConfig(modcod=modcod, frame_size=frame_size, pilots=pilots,
+                      sps=2, rolloff=0.2)
+    tx = Transmitter(tx_cfg)
+    if n_pkts is None:
+        # enough packets for ~10 PLFRAMEs
+        n_pkts = (10 * tx.df_bytes) // 188 + 2
+    ts_in = make_ts(n_pkts, seed=seed)
+    iq = tx.ts_to_iq(ts_in)
+    iq = awgn_channel(iq, esn0_db, sps=2, freq_offset=freq_offset, seed=seed + 1)
+
+    rx = Receiver(RxConfig(modcod=modcod, frame_size=frame_size, pilots=pilots,
+                           sps=2, rolloff=0.2, fec_batch=4,
+                           **(rx_kwargs or {})))
+    ts_out = rx.receive(iq)
+    return ts_in, ts_out, rx
+
+
+def check_ts_subset(ts_in, ts_out, min_packets):
+    """Recovered packets must be a contiguous, in-order, bit-exact run of the
+    input packets (start offset free: acquisition drops leading frames)."""
+    assert ts_out.size % 188 == 0
+    n_out = ts_out.size // 188
+    assert n_out >= min_packets, f"only {n_out} packets recovered"
+    in_pkts = ts_in.reshape(-1, 188)
+    first = ts_out[:188]
+    matches = np.where((in_pkts == first).all(axis=1))[0]
+    assert matches.size >= 1, "first recovered packet not in the input"
+    k = matches[0]
+    expect = in_pkts[k: k + n_out].reshape(-1)
+    assert np.array_equal(ts_out, expect[: ts_out.size]), "TS not bit-exact"
+    return n_out
+
+
+def test_loopback_qpsk_short_clean():
+    ts_in, ts_out, rx = run_loopback(esn0_db=15.0)
+    n = check_ts_subset(ts_in, ts_out, min_packets=30)
+    assert rx.stats.locked is False or True
+    assert rx.stats.frame_cnt >= 8
+    assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_qpsk_noisy():
+    # QPSK 1/2 operates fine at ~3-4 dB Es/N0; test comfortably above
+    ts_in, ts_out, rx = run_loopback(esn0_db=5.0, seed=3)
+    check_ts_subset(ts_in, ts_out, min_packets=25)
+    assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_with_pilots():
+    ts_in, ts_out, rx = run_loopback(modcod="qpsk3/5", pilots=True,
+                                     esn0_db=12.0, seed=5)
+    check_ts_subset(ts_in, ts_out, min_packets=20)
+
+
+def test_loopback_with_cfo():
+    """Static carrier frequency offset exercises coarse+fine sync and the
+    closed-loop rotator carry. The offset (5e-4 of the symbol rate) is beyond
+    the fine estimation range, so the coarse estimator must first pull it in
+    before the pilot-aided fine loop takes over."""
+    tx = Transmitter(TxConfig(modcod="qpsk3/5", frame_size="short",
+                              pilots=True, sps=2, rolloff=0.2))
+    n_pkts = (22 * tx.df_bytes) // 188 + 2
+    ts_in, ts_out, rx = run_loopback(
+        modcod="qpsk3/5", pilots=True, esn0_db=12.0,
+        freq_offset=2.5e-4, seed=7, n_pkts=n_pkts,
+        rx_kwargs=dict(coarse_period=6),
+    )
+    check_ts_subset(ts_in, ts_out, min_packets=10)
+    assert rx.stats.coarse_corrected
+    assert abs(rx.stats.cum_freq_offset - 5e-4) < 1e-4
+
+
+def test_loopback_streaming_chunks():
+    """Feeding the receiver in chunks gives the same TS as one shot."""
+    tx_cfg = TxConfig(modcod="qpsk1/2", frame_size="short", sps=2, rolloff=0.2)
+    tx = Transmitter(tx_cfg)
+    ts_in = make_ts((8 * tx.df_bytes) // 188 + 2, seed=11)
+    iq = awgn_channel(tx.ts_to_iq(ts_in), 15.0, sps=2, seed=12)
+
+    rx1 = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4))
+    once = rx1.receive(iq)
+
+    rx2 = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4))
+    outs = []
+    for i in range(0, iq.size, 50000):
+        outs.append(rx2.receive(iq[i: i + 50000], flush=False))
+    outs.append(rx2.receive(np.empty(0, np.complex64), flush=True))
+    streamed = np.concatenate(outs)
+    assert np.array_equal(once, streamed)
