@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Benchmark: steady-state IQ->TS receiver throughput on one TPU chip.
+
+Workload: QPSK 1/2 normal FECFRAMEs (the BASELINE.json headline config),
+multi-channel batched receiver in the locked steady state. Stages timed:
+
+  1. front end  — closed-loop rotator + Gardner symbol sync (vmapped scan)
+  2. PL + demap — frame group: timing metric, freq/phase sync, descrambling,
+                  soft demap (batched over channels x frames)
+  3. FEC        — layered LDPC (25 iters max) + BCH + bit packing
+
+Throughput = IQ samples consumed / total pipeline time per sample, reported
+as Msamples/s/chip. ``vs_baseline`` compares against the reference's
+field-validated real-time operating point (1 Mbaud at 2 samples/symbol =
+2 Msamples/s on an RTL-SDR host CPU, ``docs/support.md:53-61``) since the
+reference publishes no end-to-end throughput figure (BASELINE.md).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, warmup=2, iters=5):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.parallel.batch import BatchedPipeline
+    from dvbs2rx_tpu.ops.frontend import SymbolSync
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
+
+    C = 16                # channels
+    F = 2                 # frames per step
+    ESN0_DB = 6.0
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", fec_batch=C * F)
+    L = cfg.pls_info.plframe_len
+    sps = cfg.sps
+
+    # ---- stimulus: frame-aligned noisy waveform (single channel, replicated)
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
+    rng = np.random.default_rng(0)
+    n_pkts = ((F + 2) * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    syms = tx.modulate_ts(pkts.reshape(-1))[: (F + 1) * L + 91]
+    esn0 = 10 ** (ESN0_DB / 10)
+    n0 = 1.0 / esn0
+    noisy = syms + (
+        rng.normal(0, np.sqrt(n0 / 2), (syms.size, 2)).astype(np.float32)
+        @ np.array([1, 1j], dtype=np.complex64)
+    )
+    symbols = np.stack([noisy.astype(np.complex64)] * C)
+
+    # ---- stage 2+3: batched frame group + FEC
+    pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
+    headers_ext, payloads = pipe.frame_inputs_from_symbols(symbols)
+    h = jnp.asarray(headers_ext)
+    p = jnp.asarray(payloads)
+    true_flag = jnp.asarray(True)
+
+    t_group_fec = timeit(pipe.step, h, p, true_flag)
+    kbytes, _, stats = pipe.step(h, p, true_flag)
+    bch_errors = int(stats["bch_errors"])
+
+    # post-LDPC BER check against the transmitted BBFRAME bytes
+    frames_bytes = np.asarray(kbytes)[0]  # (F, kbch/8)
+    tx2 = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
+    ref_frames = tx2.bbframes(pkts.reshape(-1))[:F]
+    ref_descr = ref_frames ^ tx2.bb_scramble
+    from dvbs2rx_tpu.spec.scramblers import bb_derandomizer_bytes
+
+    rx_descr = frames_bytes  # _fec_stage output is pre-BB-descrambling bytes
+    # compare at the BCH-output level (scrambled BBFRAME bytes)
+    ber = float(
+        np.mean(
+            np.unpackbits(rx_descr ^ ref_frames, axis=1)
+        )
+    )
+
+    # ---- stage 1: front end (vmapped symbol-sync scan)
+    sync = SymbolSync(sps=sps, rolloff=cfg.rolloff)
+    n_out = 8192
+    n_samp = n_out * sps + sync.history() + 64
+    states = jax.tree.map(
+        lambda x: jnp.stack([x] * C), sync.init_state()
+    )
+    samples = jnp.asarray(
+        np.stack([noisy[:n_samp].astype(np.complex64)] * C)
+    )
+
+    front = jax.jit(
+        jax.vmap(lambda st, s: sync._step_impl(st, s, n_out)),
+    )
+    t_front = timeit(front, states, samples)
+
+    # ---- combined throughput (stages run back-to-back on one chip)
+    samples_per_step_front = C * n_out * sps
+    samples_per_step_group = C * F * L * sps
+    t_per_sample = (
+        t_front / samples_per_step_front + t_group_fec / samples_per_step_group
+    )
+    msamps = 1.0 / t_per_sample / 1e6
+
+    import jax
+
+    result = {
+        "metric": "iq_to_ts_throughput",
+        "value": round(msamps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msamps / 2.0, 2),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "channels": C,
+            "frames_per_step": F,
+            "t_frontend_s": round(t_front, 4),
+            "t_group_fec_s": round(t_group_fec, 4),
+            "frontend_msps": round(samples_per_step_front / t_front / 1e6, 2),
+            "group_fec_msps": round(samples_per_step_group / t_group_fec / 1e6, 2),
+            "esn0_db": ESN0_DB,
+            "post_fec_ber": ber,
+            "bch_frame_errors": bch_errors,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
