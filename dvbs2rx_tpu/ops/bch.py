@@ -35,34 +35,38 @@ class BCHDecoder:
         field = bch_spec.field_for(framesize)
         self.m = field.m
         self.ord = field.order - 1
-        self._exp = jnp.asarray(field.exp, jnp.int32)          # 2*(2^m-1)
-        self._log = jnp.asarray(field.log, jnp.int32)          # 2^m
+        # numpy-resident LUTs (lifted inside traces; see ldpc.py note)
+        self._exp_np = field.exp.astype(np.int32)              # 2*(2^m-1)
+        self._log_np = field.log.astype(np.int32)              # 2^m
         A = bch_spec.syndrome_bit_matrix(framesize, t, nbch)
-        self._A = jnp.asarray(A, jnp.float32)                  # (nbch, 2t*m)
+        self._A = A.astype(np.float32)                         # (nbch, 2t*m)
         # Chien exponent table: ie[i, e] = (-(i+1)... ) see _chien
         e = np.arange(nbch, dtype=np.int64)
         powers = nbch - 1 - e  # polynomial power of transmitted bit position e
         ie = np.stack(
             [(-(powers) * i) % (field.order - 1) for i in range(1, t + 1)]
         ).astype(np.int32)
-        self._ie = jnp.asarray(ie)                             # (t, nbch)
+        self._ie = ie                                          # (t, nbch)
         self._decode = jax.jit(self._decode_impl)
 
     # ---- GF helpers (batched) ----
 
     def _gf_mul(self, a, b):
-        res = self._exp[self._log[a] + self._log[b]]
+        exp, log = jnp.asarray(self._exp_np), jnp.asarray(self._log_np)
+        res = exp[log[a] + log[b]]
         return jnp.where((a == 0) | (b == 0), 0, res)
 
     def _gf_inv(self, a):
-        return self._exp[(self.ord - self._log[a]) % self.ord]
+        exp, log = jnp.asarray(self._exp_np), jnp.asarray(self._log_np)
+        return exp[(self.ord - log[a]) % self.ord]
 
     # ---- stages ----
 
     def _syndromes(self, bits):
         """bits (B, nbch) uint8 -> syndromes (B, 2t) int32 GF elements."""
         s_bits = jnp.dot(
-            bits.astype(jnp.float32), self._A, preferred_element_type=jnp.float32
+            bits.astype(jnp.float32), jnp.asarray(self._A),
+            preferred_element_type=jnp.float32,
         )
         s_bits = jnp.mod(s_bits.astype(jnp.int32), 2)          # (B, 2t*m)
         s_bits = s_bits.reshape(bits.shape[0], 2 * self.t, self.m)
@@ -126,12 +130,15 @@ class BCHDecoder:
     def _chien(self, sigma):
         """sigma (B, t+1) -> (error_mask (B, nbch) bool, n_roots (B,))."""
         B = sigma.shape[0]
-        log_sig = self._log[sigma]                              # (B, t+1)
+        exp = jnp.asarray(self._exp_np)
+        log = jnp.asarray(self._log_np)
+        ie = jnp.asarray(self._ie)
+        log_sig = log[sigma]                                    # (B, t+1)
 
         def term(i, acc):
             coef = sigma[:, i + 1]                              # (B,)
-            expo = (log_sig[:, i + 1][:, None] + self._ie[i][None, :]) % self.ord
-            val = jnp.where(coef[:, None] == 0, 0, self._exp[expo])
+            expo = (log_sig[:, i + 1][:, None] + ie[i][None, :]) % self.ord
+            val = jnp.where(coef[:, None] == 0, 0, exp[expo])
             return acc ^ val
 
         acc0 = jnp.ones((B, self.nbch), jnp.int32)              # sigma_0 = 1

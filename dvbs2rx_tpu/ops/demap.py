@@ -1,14 +1,11 @@
-"""Soft constellation demapping + deinterleaving (JAX, batched).
+"""Soft constellation demapping + deinterleaving (JAX, batched, planar IQ).
 
 Device-side counterpart of ``spec/constellations.py`` (reference
 ``lib/xfecframe_demapper_cb_impl.cc``): XFECFRAME symbols -> int8 LLRs in
 codeword order, plus the data-aided SNR estimator used to set the LLR scale.
-LLR sign convention: positive = bit 0.
+LLR sign convention: positive = bit 0. Symbols are float32 (..., n, 2).
 """
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,6 +16,7 @@ from ..spec.constellations import (
     constellation_points,
 )
 from ..spec.interleaver import column_order
+from . import cplx
 
 
 def _quantize(vals):
@@ -26,49 +24,54 @@ def _quantize(vals):
 
 
 def estimate_snr_qpsk(syms):
-    """Data-aided linear SNR from sliced QPSK symbols (batched over ...)."""
-    s = SQRT2_2
-    ref = jnp.sign(jnp.real(syms)) * s + 1j * jnp.sign(jnp.imag(syms)) * s
-    sp = jnp.sum(jnp.abs(ref) ** 2, axis=-1)
-    np_ = jnp.sum(jnp.abs(syms - ref) ** 2, axis=-1)
+    """Data-aided linear SNR from sliced QPSK symbols. syms: (..., n, 2)."""
+    s = np.float32(SQRT2_2)
+    ref = jnp.sign(syms) * s
+    sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
+    np_ = jnp.sum(jnp.sum((syms - ref) ** 2, axis=-1), axis=-1)
     return sp / jnp.maximum(np_, 1e-12)
 
 
 def estimate_snr_generic(syms, constellation, rate):
-    pts = jnp.asarray(constellation_points(constellation, rate))
-    d2 = jnp.abs(syms[..., None] - pts) ** 2
+    pts = cplx.from_np(constellation_points(constellation, rate))
+    d2 = jnp.sum(
+        (syms[..., None, :] - jnp.asarray(pts)[None, :, :]) ** 2, axis=-1
+    )
     idx = jnp.argmin(d2, axis=-1)
-    ref = pts[idx]
-    sp = jnp.sum(jnp.abs(ref) ** 2, axis=-1)
-    np_ = jnp.sum(jnp.abs(syms - ref) ** 2, axis=-1)
+    ref = jnp.asarray(pts)[idx]
+    sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
+    np_ = jnp.sum(jnp.sum((syms - ref) ** 2, axis=-1), axis=-1)
     return sp / jnp.maximum(np_, 1e-12)
 
 
 def demap_qpsk(syms, n0):
-    """(..., n_syms) -> (..., 2*n_syms) int8 LLRs; scale 2*sqrt(2)/N0."""
-    scale = (2.0 * np.sqrt(2.0) / n0)[..., None]
-    re = jnp.real(syms) * scale
-    im = jnp.imag(syms) * scale
-    return _quantize(jnp.stack([re, im], axis=-1).reshape(syms.shape[:-1] + (-1,)))
+    """(..., n, 2) -> (..., 2n) int8 LLRs; scale 2*sqrt(2)/N0."""
+    scale = (2.0 * np.sqrt(2.0) / n0)[..., None, None]
+    vals = syms * scale
+    return _quantize(vals.reshape(vals.shape[:-2] + (-1,)))
 
 
 def demap_8psk(syms, n0):
     """8PSK soft demap with the reference's rotated-axes formulation."""
     precision = (4.0 / n0)[..., None]
-    dist = 2.0 * SIN_PI_8
-    c = syms * np.exp(-1j * np.pi / 8).astype(np.complex64)
-    b1 = jnp.real(c)
-    b2 = jnp.imag(c)
-    b0 = SQRT2_2 * (jnp.abs(jnp.real(c)) - jnp.abs(jnp.imag(c)))
+    dist = np.float32(2.0 * SIN_PI_8)
+    rot = cplx.from_np(np.exp(-1j * np.pi / 8).astype(np.complex64).reshape(1))
+    c = cplx.cmul(syms, jnp.asarray(rot)[0])
+    cr, ci = c[..., 0], c[..., 1]
+    b1 = cr
+    b2 = ci
+    b0 = np.float32(SQRT2_2) * (jnp.abs(cr) - jnp.abs(ci))
     vals = jnp.stack([b0, b1, b2], axis=-1) * (dist * precision)[..., None]
-    return _quantize(vals.reshape(syms.shape[:-1] + (-1,)))
+    return _quantize(vals.reshape(vals.shape[:-2] + (-1,)))
 
 
 def demap_maxlog(syms, n0, constellation, rate):
     """Max-log-MAP LLRs for APSK constellations."""
     n_mod = BITS_PER_SYMBOL[constellation]
-    pts = jnp.asarray(constellation_points(constellation, rate))
-    d2 = jnp.abs(syms[..., None] - pts) ** 2  # (..., n_syms, n_points)
+    pts = cplx.from_np(constellation_points(constellation, rate))
+    d2 = jnp.sum(
+        (syms[..., None, :] - jnp.asarray(pts)[None, :, :]) ** 2, axis=-1
+    )  # (..., n, n_points)
     idx = np.arange(pts.shape[0])
     llrs = []
     for b in range(n_mod):
@@ -77,7 +80,7 @@ def demap_maxlog(syms, n0, constellation, rate):
         m1 = jnp.min(jnp.where(bit == 1, d2, jnp.inf), axis=-1)
         llrs.append((m1 - m0) / n0[..., None])
     vals = jnp.stack(llrs, axis=-1)
-    return _quantize(vals.reshape(syms.shape[:-1] + (-1,)))
+    return _quantize(vals.reshape(vals.shape[:-2] + (-1,)))
 
 
 def deinterleave_llrs(llrs, constellation, rate):
@@ -88,14 +91,13 @@ def deinterleave_llrs(llrs, constellation, rate):
     n_mod = len(order)
     rows = llrs.shape[-1] // n_mod
     per_sym = llrs.reshape(llrs.shape[:-1] + (rows, n_mod))
-    inv = np.argsort(np.asarray(order))  # column c comes from symbol bit inv[c]
     cols = [per_sym[..., :, int(np.where(np.asarray(order) == c)[0][0])]
             for c in range(n_mod)]
     return jnp.concatenate(cols, axis=-1)
 
 
 def demap(syms, n0, constellation, rate):
-    """Full demapper: symbols -> codeword-ordered int8 LLRs."""
+    """Full demapper: planar symbols -> codeword-ordered int8 LLRs."""
     if constellation == "QPSK":
         llrs = demap_qpsk(syms, n0)
     elif constellation == "8PSK":

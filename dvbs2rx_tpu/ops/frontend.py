@@ -15,29 +15,31 @@ TPU-native reformulation of the reference blocks:
   decimation, and fractional interpolation into one dot product. The
   per-strobe recurrence is inherently sequential -> ``lax.scan`` over output
   symbols, vmappable over a channel axis for batched receivers.
+
+All IQ data is planar float32 (..., 2) — see ``ops/cplx.py``.
 """
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..spec.rrc import polyphase_rrc_bank
+from . import cplx
 
 
 def rotate_block(iq, phase0, phase_inc):
     """Frequency-shift a block: iq * exp(j*(phase0 + phase_inc*n)).
 
-    Returns (rotated, next_phase) with the phase wrapped for numerical
-    stability across unbounded streams.
+    iq: (n, 2) float32. Returns (rotated, next_phase) with the phase wrapped
+    for numerical stability across unbounded streams.
     """
-    n = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+    n = jnp.arange(iq.shape[-2], dtype=jnp.float32)
     ph = phase0 + phase_inc * n
-    out = iq * jnp.exp(1j * ph.astype(jnp.float32))
-    next_phase = jnp.mod(phase0 + phase_inc * iq.shape[-1], 2 * jnp.pi)
-    return out.astype(jnp.complex64), next_phase
+    out = cplx.cmul(iq, cplx.cexp(ph))
+    next_phase = jnp.mod(phase0 + phase_inc * iq.shape[-2], 2 * jnp.pi)
+    return out, next_phase
 
 
 def gted_gain(rolloff: float) -> float:
@@ -66,13 +68,13 @@ def pi_constants(sps: float, loop_bw: float, damping: float, rolloff: float):
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SymbolSyncState:
-    cnt: jnp.ndarray      # modulo-1 counter (f64 semantics kept in f32 x2: hi part)
+    cnt: jnp.ndarray      # modulo-1 counter
     mu: jnp.ndarray       # fractional timing offset
     vi: jnp.ndarray       # PI integrator
     jump: jnp.ndarray     # samples to jump to the next strobe (int32)
-    last_xi: jnp.ndarray  # previous output interpolant (complex64)
+    last_xi: jnp.ndarray  # previous output interpolant, (2,) float32
     n: jnp.ndarray        # absolute index of the last processed sample within
-                          # the current buffer (int32); see consumed()
+                          # the current buffer (int32)
 
     def tree_flatten(self):
         return (self.cnt, self.mu, self.vi, self.jump, self.last_xi, self.n), None
@@ -86,9 +88,9 @@ class SymbolSync:
     """Gardner symbol synchronizer with a polyphase RRC matched filter.
 
     ``step(state, samples, n_out)`` consumes ~``n_out * sps`` samples and
-    emits exactly ``n_out`` symbols. The caller keeps a sample ring buffer:
-    feed a window with ``history()`` old samples at the front, then drop
-    ``consumed(state)`` samples after each call.
+    emits exactly ``n_out`` symbols. ``samples`` is (n, 2) float32 planar IQ.
+    The caller keeps a sample ring buffer: feed a window with ``history()``
+    old samples at the front, then drop the consumed samples after each call.
     """
 
     def __init__(self, sps=2, loop_bw=0.01, damping=1.0, rolloff=0.2,
@@ -101,7 +103,8 @@ class SymbolSync:
             sps, rolloff, rrc_delay, n_subfilt
         )
         self.n_subfilt = n_subfilt
-        self._bank = jnp.asarray(bank)  # (n_subfilt, L) reversed taps
+        # numpy-resident: jit-captured constants must not be device arrays
+        self._bank = bank  # (n_subfilt, L) reversed taps
         self.K1, self.K2 = pi_constants(sps, loop_bw, damping, rolloff)
         self._history = self.subfilt_len - 2 + self.midpoint
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
@@ -116,37 +119,34 @@ class SymbolSync:
             mu=jnp.asarray(0.0, f),
             vi=jnp.asarray(0.0, f),
             jump=jnp.asarray(self.sps, jnp.int32),
-            last_xi=jnp.asarray(0.0 + 0.0j, jnp.complex64),
+            last_xi=jnp.zeros((2,), f),
             n=jnp.asarray(self._history - 1 + 2, jnp.int32),
         )
 
-    def consumed(self, state: SymbolSyncState, prev_n) -> jnp.ndarray:
-        """Samples consumed in the last call given the carried ``n`` values."""
-        return state.n - prev_n
-
-    def _interp(self, samples, m_k, mu):
-        """Polyphase interpolant at basepoint m_k with fractional offset mu."""
+    def _interp(self, samples, m_k, mu, bank):
+        """Polyphase interpolant at basepoint m_k; returns a (2,) IQ pair."""
         idx_subfilt = jnp.clip(
             jnp.floor(self.n_subfilt * mu).astype(jnp.int32), 0, self.n_subfilt - 1
         )
-        taps = jax.lax.dynamic_index_in_dim(self._bank, idx_subfilt, keepdims=False)
+        taps = jax.lax.dynamic_index_in_dim(bank, idx_subfilt, keepdims=False)
         start = m_k + 2 - self.subfilt_len
-        window = jax.lax.dynamic_slice_in_dim(samples, start, self.subfilt_len)
-        return jnp.sum(window * taps)
+        window = jax.lax.dynamic_slice_in_dim(samples, start, self.subfilt_len,
+                                              axis=0)                 # (L, 2)
+        return jnp.sum(window * taps[:, None], axis=0)                # (2,)
 
     def _step_impl(self, state: SymbolSyncState, samples, n_out: int):
         nominal_step = 1.0 / self.sps
         K1, K2 = self.K1, self.K2
+        bank = jnp.asarray(self._bank)
 
         def body(carry, _):
             cnt, mu, vi, jump, last_xi, n = carry
             n = n + jump
             m_k = n - 1
-            out_k = self._interp(samples, m_k, mu)
-            x_zc = self._interp(samples, m_k - self.midpoint, mu)
-            e = x_zc.real * (last_xi.real - out_k.real) + x_zc.imag * (
-                last_xi.imag - out_k.imag
-            )
+            out_k = self._interp(samples, m_k, mu, bank)
+            x_zc = self._interp(samples, m_k - self.midpoint, mu, bank)
+            # Gardner error: <x_zc, last - out>
+            e = jnp.sum(x_zc * (last_xi - out_k))
             vp = K1 * e
             vi = vi + K2 * e
             pi_out = vp + vi
@@ -169,13 +169,8 @@ class SymbolSync:
             body, init, None, length=n_out
         )
         new_state = SymbolSyncState(cnt, mu, vi, jump, last_xi, n)
-        return new_state, symbols
+        return new_state, symbols  # symbols: (n_out, 2)
 
     def step(self, state: SymbolSyncState, samples, n_out: int):
-        """Process a sample window; returns (state', symbols[n_out]).
-
-        ``samples`` must contain at least ``history() + n_out*sps + slack``
-        samples. The first interpolant of a fresh state reproduces the
-        reference's startup convention (first strobe at n = history + 1).
-        """
-        return self._step(state, jnp.asarray(samples, jnp.complex64), n_out)
+        """Process a sample window; returns (state', symbols (n_out, 2))."""
+        return self._step(state, jnp.asarray(samples, jnp.float32), n_out)

@@ -20,6 +20,8 @@ TPU-native reformulation of the reference's ``frame_sync``/``freq_sync``/
   spaced 1476 symbols) and pilotless (PLHEADER-to-PLHEADER phase delta).
 - PLSC soft decoding: derotate pi/2-BPSK to real and take the argmax of a
   (128, 64) matmul against the scrambled codeword images — MXU-trivial.
+
+All device-side IQ uses the planar float32 (..., 2) layout of ``ops/cplx.py``.
 """
 
 import functools
@@ -28,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..spec import pl_defs, reed_muller
+from ..spec import reed_muller
 from ..spec.pi2_bpsk import map_bpsk
 from ..spec.pl_defs import (
     PLHEADER_LEN,
@@ -42,6 +44,7 @@ from ..spec.pl_defs import (
     SLOTS_PER_PILOT_BLK,
     SQRT2_2,
 )
+from . import cplx
 
 # Residual-CFO magnitude below which the fine estimator takes over
 # (reference ``lib/pl_freq_sync.h:18``).
@@ -81,11 +84,10 @@ def plsc_diff_taps():
 
 @functools.lru_cache(maxsize=1)
 def _frame_sync_kernels():
-    """Dense correlation kernels over d[n-i], i = 0..88.
+    """Dense correlation kernels over d[n-i], i = 0..88 (numpy complex).
 
     sof_corr[n] = sum_j d[n-89+j] * conj(d_sof[j])   (j = 1..25 -> i = 89-j)
-    plsc_corr[n] = sum_k d[n-27-... ] : pair diff at index 27+2k from the
-    frame start -> i = 62 - 2k.
+    plsc_corr[n] uses the pair differential at frame index 27+2k -> i = 62-2k.
     """
     k_sof = np.zeros(89, dtype=np.complex64)
     t_sof = sof_diff_taps()
@@ -98,43 +100,62 @@ def _frame_sync_kernels():
     return k_sof, k_plsc
 
 
-def differentials(symbols, last_sym):
-    """d[n] = conj(x[n]) * x[n-1] with the previous-block boundary symbol."""
-    prev = jnp.concatenate([last_sym[None], symbols[:-1]])
-    return jnp.conj(symbols) * prev
+def differentials(ext):
+    """d over an extended planar block: d[m] = conj(x[m+1]) * x[m]."""
+    return cplx.conj_mul(ext[1:], ext[:-1])
 
 
 def timing_metric(symbols, history):
     """Dense SOF+PLSC timing metric for each position of a symbol block.
 
-    ``history``: the last 90 symbols of the previous block (use zeros at
-    stream start). Returns (metric, sof_plus_plsc_complex) arrays of the
-    block's length; ``metric[n]`` corresponds to frame start ``n - 89``
-    within the extended [history | block] indexing minus history length —
-    i.e. metric[n] peaks when block symbol n is the last PLHEADER symbol.
+    symbols: (N, 2) planar; history: (90, 2) tail of the previous block
+    (zeros at stream start). metric[n] peaks when block symbol n is the last
+    PLHEADER symbol. Returns (metric, sof_corr, plsc_corr).
     """
     hist_len = history.shape[0]
-    ext = jnp.concatenate([history, symbols])
-    d_ext = jnp.conj(ext[1:]) * ext[:-1]  # d_ext[m] = diff at ext index m+1
+    ext = jnp.concatenate([history, symbols], axis=0)
+    d_ext = differentials(ext)            # (hist+N-1, 2); d_ext[m] = diff at m+1
     k_sof, k_plsc = _frame_sync_kernels()
     N = symbols.shape[0]
 
-    # correlation: c[n] = sum_i d[n - i] * k[i]; with d[n] = d_ext[n + hist_len - 1]
     def corr(kernel):
-        acc = jnp.zeros(N, jnp.complex64)
+        acc = jnp.zeros((N, 2), jnp.float32)
         for i in range(kernel.shape[0]):
             if kernel[i] == 0:
                 continue
-            # d[n - i] = d_ext[n - i + hist_len - 1]
-            acc = acc + kernel[i] * jax.lax.dynamic_slice_in_dim(
-                d_ext, hist_len - 1 - i, N
+            kr = np.float32(kernel[i].real)
+            ki = np.float32(kernel[i].imag)
+            seg = jax.lax.dynamic_slice_in_dim(d_ext, hist_len - 1 - i, N, axis=0)
+            acc = acc + jnp.stack(
+                [
+                    seg[:, 0] * kr - seg[:, 1] * ki,
+                    seg[:, 0] * ki + seg[:, 1] * kr,
+                ],
+                axis=-1,
             )
         return acc
 
     sof_c = corr(np.asarray(k_sof))
     plsc_c = corr(np.asarray(k_plsc))
-    m = jnp.maximum(jnp.abs(sof_c + plsc_c), jnp.abs(sof_c - plsc_c))
+    m = jnp.maximum(
+        jnp.sqrt(cplx.abs2(sof_c + plsc_c)), jnp.sqrt(cplx.abs2(sof_c - plsc_c))
+    )
     return m, sof_c, plsc_c
+
+
+def frame_metric(d_frame):
+    """Timing metric at the expected peak for batched frames.
+
+    d_frame: (F, 89, 2) differentials at frame indexes 1..89 from each SOF.
+    """
+    k_sof, k_plsc = _frame_sync_kernels()
+    ks = cplx.from_np(np.ascontiguousarray(k_sof[::-1]))
+    kp = cplx.from_np(np.ascontiguousarray(k_plsc[::-1]))
+    sof_c = jnp.sum(cplx.cmul(d_frame, jnp.asarray(ks)[None]), axis=1)
+    plsc_c = jnp.sum(cplx.cmul(d_frame, jnp.asarray(kp)[None]), axis=1)
+    return jnp.maximum(
+        jnp.sqrt(cplx.abs2(sof_c + plsc_c)), jnp.sqrt(cplx.abs2(sof_c - plsc_c))
+    )
 
 
 # ---------------- PLSC decoding ----------------
@@ -151,16 +172,17 @@ def _pi2_derot_factors():
         np.complex64(SQRT2_2 - 1j * SQRT2_2),
         np.complex64(-SQRT2_2 - 1j * SQRT2_2),
     )
-    return rot
+    return cplx.from_np(rot)
 
 
 def plsc_decode_soft(plheader, enabled_mask=None):
-    """Soft-ML decode of the PLSC from the 90-symbol PLHEADER (batched).
+    """Soft-ML decode of the PLSC from the 90-symbol planar PLHEADER.
 
-    plheader: (..., 90) complex. Returns (plsc index, correlation scores).
+    plheader: (..., 90, 2). Returns (plsc index, correlation scores).
     """
-    plsc_syms = plheader[..., SOF_LEN:]
-    soft = jnp.real(plsc_syms * jnp.asarray(_pi2_derot_factors()))
+    plsc_syms = plheader[..., SOF_LEN:, :]
+    rot = jnp.asarray(_pi2_derot_factors())
+    soft = cplx.cmul(plsc_syms, rot)[..., 0]     # real part after derotation
     scores = jnp.einsum("...k,ck->...c", soft, jnp.asarray(_rm_images()))
     if enabled_mask is not None:
         scores = jnp.where(enabled_mask, scores, -jnp.inf)
@@ -171,14 +193,14 @@ def plsc_decode_soft(plheader, enabled_mask=None):
 
 @functools.lru_cache(maxsize=1)
 def _plheader_conj_lut():
-    """(128, 90) conj of the ideal PLHEADER symbols per PLS value."""
+    """(128, 90, 2) planar conj of the ideal PLHEADER symbols per PLS."""
     out = np.empty((128, PLHEADER_LEN), dtype=np.complex64)
     for plsc in range(128):
         bits = np.concatenate(
             [SOF_BITS, reed_muller.codeword_bits()[plsc] ^ PLSC_SCRAMBLER_BITS]
         )
         out[plsc] = np.conj(map_bpsk(bits))
-    return out
+    return cplx.from_np(out)
 
 
 @functools.lru_cache(maxsize=4)
@@ -196,47 +218,48 @@ def _coarse_weights(N):
 def mod_removed_plheader(plheader, plsc):
     """Remove the data modulation: multiply by the conj ideal PLHEADER."""
     lut = jnp.asarray(_plheader_conj_lut())
-    return plheader * lut[plsc]
+    return cplx.cmul(plheader, lut[plsc])
 
 
 def coarse_autocorr(plheader, plsc, full=True):
     """Autocorrelation accumulator contribution of one PLHEADER (batched).
 
-    Returns r (..., N-1) complex with r[m-1] = sum_n p[n+m] conj(p[n]) for
-    lag m = 1..N-1, where p is the modulation-removed PLHEADER (or its SOF
-    part only when ``full`` is False).
+    plheader: (..., 90, 2). Returns r (..., N-1, 2) with r[m-1] =
+    sum_n p[n+m] conj(p[n]) for lag m = 1..N-1, where p is the
+    modulation-removed PLHEADER (or its SOF part only when ``full`` False).
     """
     p = mod_removed_plheader(plheader, plsc)
     N = PLHEADER_LEN if full else SOF_LEN
-    p = p[..., :N]
+    p = p[..., :N, :]
     lags = []
     for m in range(1, N):
-        lags.append(jnp.sum(p[..., m:] * jnp.conj(p[..., :N - m]), axis=-1))
-    return jnp.stack(lags, axis=-1)
+        prod = cplx.conj_mul(p[..., : N - m, :], p[..., m:, :])
+        lags.append(jnp.sum(prod, axis=-2))
+    return jnp.stack(lags, axis=-2)
 
 
 def coarse_foffset_from_autocorr(r):
     """Finalize the coarse CFO estimate from accumulated autocorrelation.
 
-    r: (..., N-1). Returns the normalized frequency offset in [-0.5, 0.5].
+    r: (..., N-1, 2). Returns the normalized frequency offset in [-0.5, 0.5].
     """
-    N = r.shape[-1] + 1
-    angles = jnp.arctan2(jnp.imag(r), jnp.real(r))
+    N = r.shape[-2] + 1
+    angles = cplx.angle(r)
     prev = jnp.concatenate(
         [jnp.zeros_like(angles[..., :1]), angles[..., :-1]], axis=-1
     )
     diff = angles - prev
     diff = jnp.where(diff > jnp.pi, diff - 2 * jnp.pi, diff)
     diff = jnp.where(diff < -jnp.pi, diff + 2 * jnp.pi, diff)
-    w = _coarse_weights(N)
+    w = jnp.asarray(_coarse_weights(N))
     est = jnp.sum(diff * w, axis=-1) / (2 * jnp.pi)
     return jnp.clip(est, -0.5, 0.5)
 
 
 def data_aided_phase(syms, expected_conj):
-    """Average phase of modulation-removed symbols (batched)."""
-    ck = jnp.sum(syms * expected_conj, axis=-1)
-    return jnp.arctan2(jnp.imag(ck), jnp.real(ck))
+    """Average phase of modulation-removed symbols (batched, planar)."""
+    ck = jnp.sum(cplx.cmul(syms, expected_conj), axis=-2)
+    return jnp.arctan2(ck[..., 1], ck[..., 0])
 
 
 def plheader_phase(plheader, plsc):
@@ -246,7 +269,9 @@ def plheader_phase(plheader, plsc):
 
 def sof_phase(plheader):
     lut = _plheader_conj_lut()
-    return data_aided_phase(plheader[..., :SOF_LEN], jnp.asarray(lut[0, :SOF_LEN]))
+    return data_aided_phase(
+        plheader[..., :SOF_LEN, :], jnp.asarray(lut[0, :SOF_LEN])
+    )
 
 
 def pilot_phases(payload_descrambled, n_pilots: int):
@@ -258,9 +283,9 @@ def pilot_phases(payload_descrambled, n_pilots: int):
     phases = []
     for i in range(n_pilots):
         end = (i + 1) * PILOT_BLK_PERIOD
-        blk = payload_descrambled[..., end - PILOT_BLK_LEN: end]
-        ck = jnp.sum(blk, axis=-1)
-        ph = jnp.arctan2(jnp.imag(ck), jnp.real(ck)) - jnp.pi / 4
+        blk = payload_descrambled[..., end - PILOT_BLK_LEN: end, :]
+        ck = jnp.sum(blk, axis=-2)
+        ph = jnp.arctan2(ck[..., 1], ck[..., 0]) - jnp.pi / 4
         ph = jnp.where(ph > jnp.pi, ph - 2 * jnp.pi, ph)
         ph = jnp.where(ph < -jnp.pi, ph + 2 * jnp.pi, ph)
         phases.append(ph)
@@ -270,8 +295,10 @@ def pilot_phases(payload_descrambled, n_pilots: int):
 def fine_foffset_pilot_mode(plheader, payload_descrambled, plsc, n_pilots: int):
     """Pilot-aided fine CFO (reference ``pl_freq_sync.cc:255-303``)."""
     lut = jnp.asarray(_plheader_conj_lut())
-    tail_conj = lut[plsc][..., PLHEADER_LEN - PILOT_BLK_LEN:]
-    ph0 = data_aided_phase(plheader[..., PLHEADER_LEN - PILOT_BLK_LEN:], tail_conj)
+    tail_conj = lut[plsc][..., PLHEADER_LEN - PILOT_BLK_LEN:, :]
+    ph0 = data_aided_phase(
+        plheader[..., PLHEADER_LEN - PILOT_BLK_LEN:, :], tail_conj
+    )
     phs = pilot_phases(payload_descrambled, n_pilots)
     allph = jnp.concatenate([ph0[..., None], phs], axis=-1)
     diff = allph[..., 1:] - allph[..., :-1]
@@ -296,9 +323,9 @@ def fine_foffset_pilotless(curr_phase, next_phase, plframe_len: int):
 
 def correct_payload_pilotless(payload_descrambled, phase, fine_foffset):
     """Feed-forward derotation: e^{-j(phase + 2*pi*f*n)} over the payload."""
-    n = jnp.arange(payload_descrambled.shape[-1], dtype=jnp.float32)
+    n = jnp.arange(payload_descrambled.shape[-2], dtype=jnp.float32)
     ph = phase[..., None] + 2 * jnp.pi * fine_foffset[..., None] * n
-    return payload_descrambled * jnp.exp(-1j * ph)
+    return cplx.cmul(payload_descrambled, cplx.cexp(-ph))
 
 
 def correct_payload_pilots(payload_descrambled, header_phase, pilot_phs,
@@ -310,18 +337,18 @@ def correct_payload_pilots(payload_descrambled, header_phase, pilot_phs,
     CFO ramp restarting at each segment boundary (reference
     ``plsync_cc_impl.cc:729-794`` resets the rotator phase per segment).
     Returns the corrected *data* symbols (pilots dropped), shape
-    (..., n_slots*90).
+    (..., n_slots*90, 2).
     """
     seg_len = SLOTS_PER_PILOT_BLK * SLOT_LEN
     outs = []
     for seg in range(n_pilots + 1):
         start = seg * PILOT_BLK_PERIOD
         if seg < n_pilots:
-            data = payload_descrambled[..., start: start + seg_len]
+            data = payload_descrambled[..., start: start + seg_len, :]
         else:
-            data = payload_descrambled[..., start:]
+            data = payload_descrambled[..., start:, :]
         phase = header_phase if seg == 0 else pilot_phs[..., seg - 1]
-        n = jnp.arange(data.shape[-1], dtype=jnp.float32)
+        n = jnp.arange(data.shape[-2], dtype=jnp.float32)
         ph = phase[..., None] + 2 * jnp.pi * fine_foffset[..., None] * n
-        outs.append(data * jnp.exp(-1j * ph))
-    return jnp.concatenate(outs, axis=-1)
+        outs.append(cplx.cmul(data, cplx.cexp(-ph)))
+    return jnp.concatenate(outs, axis=-2)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import cplx
 from ..rx.receiver import Receiver, RxConfig
 
 
@@ -53,7 +54,7 @@ class BatchedPipeline:
         self.payload_len = self._rx.payload_len
 
         def step(headers_ext, payloads, coarse_corrected):
-            # headers_ext: (C, F+1, 91); payloads: (C, F, payload_len)
+            # headers_ext: (C, F+1, 91, 2); payloads: (C, F, payload_len, 2)
             group = jax.vmap(
                 lambda h, p: self._rx._frame_group_impl(
                     h, p, coarse_corrected, n_frames=frames_per_step
@@ -76,8 +77,8 @@ class BatchedPipeline:
             )
 
         if mesh is not None:
-            spec_hdr = NamedSharding(mesh, P("ch", None, None))
-            spec_pay = NamedSharding(mesh, P("ch", None, None))
+            spec_hdr = NamedSharding(mesh, P("ch", None, None, None))
+            spec_pay = NamedSharding(mesh, P("ch", None, None, None))
             out_spec = (
                 NamedSharding(mesh, P("ch", None, None)),
                 NamedSharding(mesh, P("ch")),
@@ -108,9 +109,9 @@ class BatchedPipeline:
         assert symbols.shape[1] >= need - L, "not enough symbols"
         idx_h = np.arange(F + 1)[:, None] * L + np.arange(-1, 90)[None, :]
         idx_h = np.clip(idx_h, 0, symbols.shape[1] - 1)
-        headers_ext = symbols[:, idx_h]
+        headers_ext = cplx.from_np(symbols[:, idx_h])
         idx_p = 90 + np.arange(F)[:, None] * L + np.arange(self.payload_len)[None, :]
-        payloads = symbols[:, idx_p]
+        payloads = cplx.from_np(symbols[:, idx_p])
         return headers_ext, payloads
 
 

@@ -2,7 +2,7 @@
 
 TPU-native redesign of the reference receive chain (``apps/dvbs2-rx:832-935``):
 instead of one thread per block with ring buffers, the receiver runs a host
-streaming loop around jitted, batched device stages:
+streaming loop around jitted, fixed-shape, batched device stages:
 
     rotator (closed-loop CFO carry) -> Gardner symbol sync (lax.scan)
     -> dense SOF/PLSC frame sync -> PLSC decode -> coarse/fine freq sync
@@ -15,6 +15,10 @@ frequency correction estimated from frame group k is applied to the sample
 stream of group k+1 (the reference already tolerates a two-frame correction
 delay, ``lib/plsync_cc_impl.cc:394-402``).
 
+Every device step has a fixed shape (compiled exactly once) and all
+host-crossing buffers are float32/int32/uint8 — complex and bool stay
+on-device (the tunneled TPU backend cannot transfer them to the host).
+
 Architectural invariants preserved from the reference (SURVEY.md §3.2):
 - payload n is processed only after PLHEADER n+1 (two-SOF rule)
 - coarse corrections feed the rotator only until coarse-corrected; then the
@@ -23,23 +27,25 @@ Architectural invariants preserved from the reference (SURVEY.md §3.2):
   ``unlock_thresh`` consecutive weak timing metrics
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..spec import pl_defs
 from ..spec.pls import PLSInfo, parse_pls, make_pls
 from ..spec.fec_params import get_fec_info, FECInfo, DVBS2_MODCODS, MODCOD_NUMBERS
 from ..spec.bb_frame import BBFrameParser
 from ..spec.scramblers import bb_derandomizer_bytes, pl_descrambling_sequence
 from ..ops import plsync
+from ..ops import cplx
 from ..ops.frontend import SymbolSync, rotate_block
 from ..ops.demap import demap, estimate_snr_qpsk, estimate_snr_generic
 from ..ops.ldpc import LDPCDecoder
 from ..ops.bch import BCHDecoder
 from ..spec.ldpc_tables import get_code
+
+
 
 
 @dataclass
@@ -56,6 +62,8 @@ class RxConfig:
     n_subfilt: int = 128
     ldpc_max_trials: int = 25
     fec_batch: int = 8            # frames decoded together (SIMD-lane analog)
+    frame_group: int = 4          # frames processed per device step
+    frontend_block: int = 4096    # symbols produced per front-end step
     coarse_period: int = 30       # frames per coarse CFO estimate (reference
                                   # --pl-freq-est-period default)
     unlock_thresh: int = 3
@@ -100,6 +108,22 @@ class RxStats:
         return d
 
 
+def _coarse_foffset_np(r):
+    """Host finalization of the coarse CFO estimate (numpy port of
+    ``plsync.coarse_foffset_from_autocorr`` for the tiny (89,) accumulator)."""
+    N = r.shape[-1] + 1
+    angles = np.arctan2(np.imag(r), np.real(r))
+    diff = np.diff(np.concatenate([[0.0], angles]))
+    diff = np.where(diff > np.pi, diff - 2 * np.pi, diff)
+    diff = np.where(diff < -np.pi, diff + 2 * np.pi, diff)
+    L = N - 1
+    m = np.arange(L, dtype=np.float64)
+    w = 3.0 * ((2 * L + 1.0) ** 2 - (2 * m + 1.0) ** 2) / (
+        ((2 * L + 1.0) ** 2 - 1) * (2 * L + 1)
+    )
+    return float(np.clip(np.sum(diff * w) / (2 * np.pi), -0.5, 0.5))
+
+
 class Receiver:
     def __init__(self, cfg: RxConfig):
         self.cfg = cfg
@@ -119,11 +143,19 @@ class Receiver:
         self.bch = BCHDecoder(
             cfg.fec.framesize, cfg.fec.t, cfg.fec.nbch, cfg.fec.kbch
         )
-        self.bb_parser = BBFrameParser(cfg.fec.kbch)
         self._bb_scramble = bb_derandomizer_bytes(cfg.fec.kbch // 8)
-        self._descramble = jnp.asarray(
+        # planar (payload_len, 2) float32 descrambling sequence
+        self._descr_np = cplx.from_np(
             pl_descrambling_sequence(cfg.gold_code)[: self.payload_len]
         )
+
+        # fixed shapes
+        self._fe_nout = cfg.frontend_block
+        self._fe_nsamp = self._fe_nout * cfg.sps + self.sym_sync.history() + 64
+        self._acq_win = 2 * self.frame_len + 271
+
+        self._frontend_step = jax.jit(self._frontend_impl)
+        self._acq_metric = jax.jit(self._acq_impl)
         self._frame_group = jax.jit(
             self._frame_group_impl, static_argnames=("n_frames",)
         )
@@ -136,7 +168,7 @@ class Receiver:
         self.stats = RxStats()
         self._samp_buf = np.empty(0, dtype=np.complex64)
         self._sym_buf = np.empty(0, dtype=np.complex64)
-        self._ss_state = self.sym_sync.init_state()
+        self._ss_state = None  # created lazily (device arrays)
         self._rot_phase = 0.0
         self._rot_inc = 0.0          # per-sample phase increment (closed loop)
         self._lock_state = "searching"
@@ -158,8 +190,8 @@ class Receiver:
 
     def receive(self, iq: np.ndarray, flush: bool = True) -> np.ndarray:
         """Process IQ samples (complex64 at sps samples/symbol); returns TS
-        bytes recovered so far. With ``flush``, decode any queued FEC frames
-        even if the batch is not full.
+        bytes recovered so far. With ``flush``, process buffered tail frames
+        and decode any queued FEC frames even if batches are not full.
 
         Input is internally re-chunked to about two PLFRAMEs of samples so
         closed-loop frequency corrections take effect promptly even when the
@@ -170,15 +202,15 @@ class Receiver:
         for i in range(0, max(iq.size, 1), chunk):
             out.append(self._process_chunk(iq[i: i + chunk]))
         if flush:
+            out.append(self._process_chunk(np.empty(0, np.complex64), force=True))
             out.append(self._flush_fec())
         return np.concatenate(out) if out else np.empty(0, np.uint8)
 
     # ------------- host pipeline -------------
 
-    def _process_chunk(self, iq) -> np.ndarray:
-        iq = np.asarray(iq, dtype=np.complex64)
+    def _process_chunk(self, iq, force=False) -> np.ndarray:
         self._samp_buf = np.concatenate([self._samp_buf, iq])
-        self._run_frontend()
+        self._run_frontend(force=force)
         ts = []
         progress = True
         while progress:
@@ -186,46 +218,76 @@ class Receiver:
             if self._lock_state != "locked":
                 progress = self._acquire()
             if self._lock_state == "locked":
-                got = self._process_frames()
-                if got:
+                if self._process_frames(force=force):
                     progress = True
             ts.append(self._drain_fec())
         return np.concatenate(ts) if ts else np.empty(0, np.uint8)
 
-    def _run_frontend(self):
-        """Rotate + symbol-sync as much of the sample buffer as possible."""
+    # ------------- front end -------------
+
+    def _frontend_impl(self, samples, state, rot_phase, rot_inc):
+        rotated, _ = rotate_block(samples, rot_phase, rot_inc)
+        new_state, syms = self.sym_sync._step_impl(state, rotated, self._fe_nout)
         hist = self.sym_sync.history()
-        navail = self._samp_buf.size
-        n_out = max(0, (navail - hist - 64) // self.cfg.sps)
-        if n_out < 256:
-            return
-        # closed-loop rotator (frequency correction on raw samples)
-        rotated, self._rot_phase = rotate_block(
-            self._samp_buf[: navail], self._rot_phase, self._rot_inc
-        )
-        prev_n = int(self._ss_state.n)
-        state, syms = self.sym_sync.step(self._ss_state, rotated, n_out)
-        consumed = int(state.n) + 1 - hist
-        # rebase the carried absolute index onto the trimmed buffer
+        consumed = new_state.n + 1 - hist
         import dataclasses
 
-        self._ss_state = dataclasses.replace(
-            state, n=state.n - consumed
+        new_state = dataclasses.replace(
+            new_state, n=jnp.asarray(hist - 1, jnp.int32)
         )
-        self._rot_phase = float(
-            (self._rot_phase - self._rot_inc * (navail - consumed)) % (2 * np.pi)
-        )
-        self._samp_buf = self._samp_buf[consumed:]
-        self._sym_buf = np.concatenate([self._sym_buf, np.asarray(syms)])
+        return new_state, syms, consumed.astype(jnp.int32)
+
+    def _run_frontend(self, force=False):
+        if self._ss_state is None:
+            self._ss_state = self.sym_sync.init_state()
+        while True:
+            if self._samp_buf.size >= self._fe_nsamp:
+                block = self._samp_buf[: self._fe_nsamp]
+            elif force and self._samp_buf.size > self.sym_sync.history() + 256:
+                block = np.concatenate([
+                    self._samp_buf,
+                    np.zeros(self._fe_nsamp - self._samp_buf.size, np.complex64),
+                ])
+            else:
+                return
+            state, syms_f, consumed = self._frontend_step(
+                jnp.asarray(cplx.from_np(block)),
+                self._ss_state,
+                jnp.float32(self._rot_phase),
+                jnp.float32(self._rot_inc),
+            )
+            consumed = int(consumed)
+            self._ss_state = state
+            self._rot_phase = float(
+                (self._rot_phase + self._rot_inc * consumed) % (2 * np.pi)
+            )
+            n_real = min(
+                self._fe_nout,
+                max(0, (self._samp_buf.size - self.sym_sync.history()))
+                // self.cfg.sps,
+            )
+            self._sym_buf = np.concatenate(
+                [self._sym_buf, cplx.to_np(syms_f)[:n_real]]
+            )
+            self._samp_buf = self._samp_buf[consumed:]
+            if force and self._samp_buf.size <= self.sym_sync.history() + 256:
+                return
 
     # ------------- acquisition -------------
 
+    def _acq_impl(self, symbols):
+        hist = jnp.zeros((90, 2), jnp.float32)
+        metric, _, _ = plsync.timing_metric(symbols, hist)
+        return metric
+
     def _acquire(self) -> bool:
-        if self._sym_buf.size < 2 * self.frame_len + 181:
+        if self._sym_buf.size < self._acq_win:
             return False
-        hist = np.zeros(90, dtype=np.complex64)
-        metric, _, _ = plsync.timing_metric(jnp.asarray(self._sym_buf), jnp.asarray(hist))
-        metric = np.asarray(metric)
+        metric = np.asarray(
+            self._acq_metric(
+                jnp.asarray(cplx.from_np(self._sym_buf[: self._acq_win]))
+            )
+        )
         peak = int(np.argmax(metric[: self.frame_len + 90]))
         if metric[peak] < plsync.THRESHOLD_UNLOCKED:
             # no SOF in this window; drop all but the tail
@@ -253,37 +315,48 @@ class Receiver:
 
     # ------------- locked-path processing -------------
 
-    def _process_frames(self) -> bool:
-        """Extract and process all complete frames in the symbol buffer.
+    def _process_frames(self, force=False) -> bool:
+        """Process frames in fixed groups of ``frame_group``.
 
-        Needs the next frame's header as lookahead (two-SOF rule), i.e.
-        ``frame_phase + (k+1)*frame_len + 90`` symbols for k+1 frames.
+        Needs the next frame's header as lookahead (two-SOF rule). With
+        ``force``, a final partial group is processed by padding with the
+        last frame (only the valid frames are consumed downstream).
         """
-        F = (self._sym_buf.size - self._frame_phase - 90) // self.frame_len - 0
-        F = min(F, 32)
-        if F <= 0:
+        F0 = self.cfg.frame_group
+        avail = (self._sym_buf.size - self._frame_phase - 91) // self.frame_len
+        if avail >= F0:
+            F = F0
+        elif force and avail > 0:
+            F = avail
+        else:
             return False
         fp = self._frame_phase
         L = self.frame_len
-        # frames + one-header lookahead, plus one symbol before each SOF for
-        # the differential metric
         idx = fp + np.arange(F + 1)[:, None] * L + np.arange(-1, 90)[None, :]
         idx = np.clip(idx, 0, self._sym_buf.size - 1)
         headers_ext = self._sym_buf[idx]                       # (F+1, 91)
         payloads = self._sym_buf[
             fp + 90 + np.arange(F)[:, None] * L + np.arange(self.payload_len)[None, :]
-        ]                                                      # (F, payload)
+        ]
+        if F < F0:  # pad a final partial group to the compiled shape
+            pad_h = np.repeat(headers_ext[-1:], F0 - F, axis=0)
+            headers_ext = np.concatenate(
+                [headers_ext[:-1], pad_h, headers_ext[-1:]], axis=0
+            )
+            payloads = np.concatenate(
+                [payloads, np.repeat(payloads[-1:], F0 - F, axis=0)], axis=0
+            )
 
         out = self._frame_group(
-            jnp.asarray(headers_ext),
-            jnp.asarray(payloads),
+            jnp.asarray(cplx.from_np(headers_ext)),
+            jnp.asarray(cplx.from_np(payloads)),
             jnp.asarray(self._coarse_corrected),
-            n_frames=F,
+            n_frames=F0,
         )
-        metrics = np.asarray(out["metric"])                    # (F+1,)
+        metrics = np.asarray(out["metric"])[: F + 1]
         n0 = float(out["n0"])
-        autocorr = np.asarray(out["autocorr"])                 # (F, 89)
-        fine = np.asarray(out["fine"])                         # (F,)
+        autocorr = cplx.to_np(out["autocorr"])[:F]             # (F, 89)
+        fine = np.asarray(out["fine"])[:F]
 
         # ---- lock maintenance (host state machine) ----
         for k in range(F):
@@ -303,8 +376,7 @@ class Receiver:
 
         # ---- frequency tracking (block-granular closed loop) ----
         # Coarse: accumulate the modulation-removed PLHEADER autocorrelation
-        # over ``coarse_period`` frames before finalizing an estimate
-        # (reference freq_sync::estimate_coarse accumulation semantics).
+        # over ``coarse_period`` frames before finalizing an estimate.
         new_coarse = False
         for k in range(F):
             if self._settle_frames > 0:
@@ -315,11 +387,7 @@ class Receiver:
             self._coarse_acc += autocorr[k]
             self._coarse_frames += 1
             if self._coarse_frames >= self.cfg.coarse_period:
-                est = float(
-                    plsync.coarse_foffset_from_autocorr(
-                        jnp.asarray(self._coarse_acc)
-                    )
-                )
+                est = _coarse_foffset_np(self._coarse_acc)
                 self._coarse_foffset = est
                 self._coarse_corrected = (
                     abs(est) < plsync.FINE_FOFFSET_CORR_RANGE
@@ -360,28 +428,29 @@ class Receiver:
         self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
 
         # ---- queue LLRs for FEC ----
-        llrs = np.asarray(out["llrs"])                         # (F, nldpc)
+        llrs = np.asarray(out["llrs"])[:F]
         for k in range(F):
             self._llr_queue.append(llrs[k])
 
         self._sym_buf = self._sym_buf[self._frame_phase + F * L:]
         self._frame_phase = 0
+        self.stats.locked = True
         return True
 
     def _frame_group_impl(self, headers_ext, payloads, coarse_corrected, n_frames):
-        """Jitted per-group processing: metric, sync, correction, demap."""
+        """Jitted per-group processing: metric, sync, correction, demap.
+
+        All outputs are host-transfer-safe dtypes (f32/i8); complex results
+        are returned as (..., 2) float pairs.
+        """
         cfg = self.cfg
         info = cfg.pls_info
-        headers = headers_ext[:, 1:]                           # (F+1, 90)
+        headers = headers_ext[:, 1:]                           # (F+1, 90, 2)
 
-        # timing metric at the expected peak of each frame
-        d = jnp.conj(headers_ext[:, 1:]) * headers_ext[:, :-1]  # (F+1, 90)
-        k_sof, k_plsc = plsync._frame_sync_kernels()
-        # metric position n = SOF+89 uses d[n-i] = d within this window:
-        # d[f+89-i] = d_window[89-i] -> dot with kernels reversed
-        sof_c = jnp.einsum("fk,k->f", d[:, 1:], jnp.asarray(k_sof[::-1].copy()))
-        plsc_c = jnp.einsum("fk,k->f", d[:, 1:], jnp.asarray(k_plsc[::-1].copy()))
-        metric = jnp.maximum(jnp.abs(sof_c + plsc_c), jnp.abs(sof_c - plsc_c))
+        # timing metric at the expected peak of each frame: the dense kernels
+        # evaluated at the single position n = SOF+89
+        d = cplx.conj_mul(headers_ext[:, 1:], headers_ext[:, :-1])  # (F+1, 90, 2)
+        metric = plsync.frame_metric(d[:, 1:])
 
         pls = jnp.full((n_frames + 1,), cfg.pls, jnp.int32)   # CCM: known PLS
 
@@ -391,7 +460,7 @@ class Receiver:
 
         hdr_phase = plsync.plheader_phase(headers, pls)        # (F+1,)
 
-        payloads_d = payloads * self._descramble[None, :]
+        payloads_d = cplx.cmul(payloads, jnp.asarray(self._descr_np)[None])
 
         if info.has_pilots:
             fine = plsync.fine_foffset_pilot_mode(
@@ -430,7 +499,6 @@ class Receiver:
             "metric": metric,
             "autocorr": r,
             "fine": fine,
-            "xfec": xfec,
             "n0": n0,
             "llrs": llrs,
         }
@@ -441,13 +509,13 @@ class Receiver:
         hard, llrs_out, iters, ok = self.ldpc._decode_impl(llrs)
         bch_in = hard[:, : self.cfg.fec.nbch]
         corrected, n_corr = self.bch._decode_impl(bch_in)
-        kbits = corrected[:, : self.cfg.fec.kbch]
+        kbits = corrected[:, : self.cfg.fec.kbch].astype(jnp.int32)
+        weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
         kbytes = jnp.sum(
-            kbits.reshape(kbits.shape[0], -1, 8)
-            * (1 << jnp.arange(7, -1, -1, dtype=jnp.uint8))[None, None, :],
-            axis=-1,
+            kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :], axis=-1
         ).astype(jnp.uint8)
-        return kbytes, n_corr, iters, ok
+        return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32), \
+            ok.astype(jnp.int32)
 
     def _drain_fec(self) -> np.ndarray:
         out = []

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from dvbs2rx_tpu.ops.frontend import SymbolSync, rotate_block, pi_constants
+from dvbs2rx_tpu.ops import cplx
 from dvbs2rx_tpu.spec.rrc import root_raised_cosine
 
 
@@ -60,8 +61,8 @@ def test_convergence(frac_delay):
     sync = SymbolSync(sps=sps, loop_bw=0.01, rolloff=rolloff)
     state = sync.init_state()
     n_out = 3500
-    state, out = sync.step(state, iq, n_out)
-    out = np.asarray(out)
+    state, out = sync.step(state, cplx.from_np(iq), n_out)
+    out = cplx.to_np(out)
     # skip the acquisition transient, compare the steady-state tail
     tail_out = out[1500:]
     tail_syms = syms[1500 - 20: ]
@@ -76,35 +77,35 @@ def test_streaming_blocks_equal_one_shot():
     sync = SymbolSync(sps=sps, rolloff=rolloff)
 
     state = sync.init_state()
-    state, out_once = sync.step(state, iq, 1800)
-    out_once = np.asarray(out_once)
+    state, out_once = sync.step(state, cplx.from_np(iq), 1800)
+    out_once = cplx.to_np(out_once)
 
     # streaming: feed in two chunks with a ring buffer
     state = sync.init_state()
     n1 = 900
-    state1, out1 = sync.step(state, iq, n1)
+    state1, out1 = sync.step(state, cplx.from_np(iq), n1)
     consumed = int(state1.n) + 1 - sync.history()
     # rebase: drop consumed samples, reset the absolute index
     import dataclasses
     state2 = dataclasses.replace(
         state1, n=state1.n - consumed
     )
-    state2, out2 = sync.step(state2, iq[consumed:], 900)
-    out_stream = np.concatenate([np.asarray(out1), np.asarray(out2)])
+    state2, out2 = sync.step(state2, cplx.from_np(iq[consumed:]), 900)
+    out_stream = np.concatenate([cplx.to_np(out1), cplx.to_np(out2)])
     np.testing.assert_allclose(out_stream, out_once[:1800], rtol=0, atol=2e-4)
 
 
 def test_rotate_block():
-    iq = np.ones(100, dtype=np.complex64)
+    iq = cplx.from_np(np.ones(100, dtype=np.complex64))
     out, ph = rotate_block(iq, 0.0, 0.01)
-    np.testing.assert_allclose(np.angle(np.asarray(out)), 0.01 * np.arange(100),
+    np.testing.assert_allclose(np.angle(cplx.to_np(out)), 0.01 * np.arange(100),
                                atol=1e-5)
     assert np.isclose(float(ph), (0.01 * 100) % (2 * np.pi), atol=1e-6)
     # streaming continuity
     out1, ph1 = rotate_block(iq[:50], 0.0, 0.01)
     out2, ph2 = rotate_block(iq[50:], ph1, 0.01)
     np.testing.assert_allclose(
-        np.concatenate([np.asarray(out1), np.asarray(out2)]), np.asarray(out),
+        np.concatenate([cplx.to_np(out1), cplx.to_np(out2)]), cplx.to_np(out),
         atol=1e-5,
     )
 
