@@ -38,12 +38,16 @@ def timeit(fn, *args, warmup=2, iters=5):
 
 
 def main():
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
     from dvbs2rx_tpu.rx.receiver import RxConfig
     from dvbs2rx_tpu.parallel.batch import BatchedPipeline
     from dvbs2rx_tpu.ops.frontend import SymbolSync
+    from dvbs2rx_tpu.ops import cplx
     from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
 
     C = 16                # channels
@@ -102,7 +106,7 @@ def main():
         lambda x: jnp.stack([x] * C), sync.init_state()
     )
     samples = jnp.asarray(
-        np.stack([noisy[:n_samp].astype(np.complex64)] * C)
+        cplx.from_np(np.stack([noisy[:n_samp].astype(np.complex64)] * C))
     )
 
     front = jax.jit(

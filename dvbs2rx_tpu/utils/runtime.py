@@ -1,0 +1,30 @@
+"""Runtime environment helpers (compilation cache, device selection)."""
+
+import os
+
+
+def enable_compilation_cache(path: str = None):
+    """Enable JAX's persistent compilation cache (huge win on the tunneled
+    TPU where first compiles are slow)."""
+    import jax
+
+    path = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def force_cpu():
+    """Force the CPU backend (the axon TPU plugin overrides JAX_PLATFORMS)."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

@@ -112,3 +112,20 @@ def test_loopback_streaming_chunks():
     outs.append(rx2.receive(np.empty(0, np.complex64), flush=True))
     streamed = np.concatenate(outs)
     assert np.array_equal(once, streamed)
+
+
+def test_loopback_8psk():
+    """8PSK 3/5 short exercises the rotated-axes demapper and the per-rate
+    column-twist deinterleaver (the reference's second supported
+    constellation)."""
+    ts_in, ts_out, rx = run_loopback(modcod="8psk3/5", esn0_db=14.0, seed=21)
+    check_ts_subset(ts_in, ts_out, min_packets=20)
+    assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_16apsk():
+    """16APSK 2/3 short: max-log demapper + 4-column deinterleaver (beyond
+    the reference receiver, which rejects APSK constellations)."""
+    ts_in, ts_out, rx = run_loopback(modcod="16apsk2/3", esn0_db=16.0, seed=22)
+    check_ts_subset(ts_in, ts_out, min_packets=15)
+    assert rx.stats.bch_frame_errors == 0
