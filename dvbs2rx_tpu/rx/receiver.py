@@ -40,6 +40,7 @@ from ..spec.scramblers import bb_derandomizer_bytes, pl_descrambling_sequence
 from ..ops import plsync
 from ..ops import cplx
 from ..ops.frontend import SymbolSync, rotate_block
+from ..ops.ffsync import FeedForwardSync
 from ..ops.demap import demap, estimate_snr_qpsk, estimate_snr_generic
 from ..ops.ldpc import LDPCDecoder
 from ..ops.bch import BCHDecoder
@@ -56,6 +57,8 @@ class RxConfig:
     rolloff: float = 0.2
     sps: int = 2
     gold_code: int = 0
+    sym_sync_impl: str = "ffw"    # "ffw" (feed-forward O&M, TPU fast path)
+                                  # or "gardner" (reference-faithful loop)
     sym_sync_loop_bw: float = 0.01
     damping: float = 1.0
     rrc_delay: int = 5
@@ -131,14 +134,24 @@ class Receiver:
         self.frame_len = info.plframe_len
         self.payload_len = info.payload_len
 
-        self.sym_sync = SymbolSync(
-            sps=cfg.sps,
-            loop_bw=cfg.sym_sync_loop_bw,
-            damping=cfg.damping,
-            rolloff=cfg.rolloff,
-            rrc_delay=cfg.rrc_delay,
-            n_subfilt=cfg.n_subfilt,
-        )
+        if cfg.sym_sync_impl == "gardner":
+            self.sym_sync = SymbolSync(
+                sps=cfg.sps,
+                loop_bw=cfg.sym_sync_loop_bw,
+                damping=cfg.damping,
+                rolloff=cfg.rolloff,
+                rrc_delay=cfg.rrc_delay,
+                n_subfilt=cfg.n_subfilt,
+            )
+        elif cfg.sym_sync_impl == "ffw":
+            self.sym_sync = FeedForwardSync(
+                sps=cfg.sps,
+                rolloff=cfg.rolloff,
+                rrc_delay=cfg.rrc_delay,
+                n_subfilt=cfg.n_subfilt,
+            )
+        else:
+            raise ValueError(f"Unknown sym_sync_impl {cfg.sym_sync_impl!r}")
         self.ldpc = LDPCDecoder(get_code(cfg.fec.ldpc_table), cfg.ldpc_max_trials)
         self.bch = BCHDecoder(
             cfg.fec.framesize, cfg.fec.t, cfg.fec.nbch, cfg.fec.kbch
@@ -227,6 +240,11 @@ class Receiver:
 
     def _frontend_impl(self, samples, state, rot_phase, rot_inc):
         rotated, _ = rotate_block(samples, rot_phase, rot_inc)
+        if self.cfg.sym_sync_impl == "ffw":
+            new_state, syms, consumed = self.sym_sync._step_impl(
+                state, rotated, self._fe_nout
+            )
+            return new_state, syms, consumed
         new_state, syms = self.sym_sync._step_impl(state, rotated, self._fe_nout)
         hist = self.sym_sync.history()
         consumed = new_state.n + 1 - hist
