@@ -4,7 +4,8 @@
 Workload: QPSK 1/2 normal FECFRAMEs (the BASELINE.json headline config),
 multi-channel batched receiver in the locked steady state. Stages timed:
 
-  1. front end  — closed-loop rotator + Gardner symbol sync (vmapped scan)
+  1. front end  — closed-loop rotator + feed-forward O&M symbol timing
+                  (dense block conv; RxConfig.sym_sync_impl="ffw")
   2. PL + demap — frame group: timing metric, freq/phase sync, descrambling,
                   soft demap (batched over channels x frames)
   3. FEC        — layered LDPC (25 iters max) + BCH + bit packing
@@ -46,7 +47,7 @@ def main():
 
     from dvbs2rx_tpu.rx.receiver import RxConfig
     from dvbs2rx_tpu.parallel.batch import BatchedPipeline
-    from dvbs2rx_tpu.ops.frontend import SymbolSync
+    from dvbs2rx_tpu.ops.ffsync import FeedForwardSync
     from dvbs2rx_tpu.ops import cplx
     from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
 
@@ -98,16 +99,15 @@ def main():
         )
     )
 
-    # ---- stage 1: front end (vmapped symbol-sync scan)
-    sync = SymbolSync(sps=sps, rolloff=cfg.rolloff)
-    n_out = 8192
-    n_samp = n_out * sps + sync.history() + 64
+    # ---- stage 1: front end (vmapped feed-forward timing recovery)
+    sync = FeedForwardSync(sps=sps, rolloff=cfg.rolloff)
+    n_out = 32768
+    n_samp = n_out * sps + sync.history()
+    stim = np.resize(noisy, n_samp).astype(np.complex64)
     states = jax.tree.map(
         lambda x: jnp.stack([x] * C), sync.init_state()
     )
-    samples = jnp.asarray(
-        cplx.from_np(np.stack([noisy[:n_samp].astype(np.complex64)] * C))
-    )
+    samples = jnp.asarray(cplx.from_np(np.stack([stim] * C)))
 
     front = jax.jit(
         jax.vmap(lambda st, s: sync._step_impl(st, s, n_out)),
