@@ -12,16 +12,16 @@ import numpy as np
 
 
 def u8_to_fc32(raw: np.ndarray) -> np.ndarray:
-    """Interleaved u8 IQ -> complex64, centered and scaled to ~unit range."""
-    x = (raw.astype(np.float32) - 127.5) / 127.5
-    return (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+    """Interleaved u8 IQ -> complex64 (native C fast path when built)."""
+    from . import native
+
+    return native.u8_to_fc32(raw)
 
 
 def fc32_to_u8(iq: np.ndarray, scale: float = 0.9) -> np.ndarray:
-    x = np.empty(iq.size * 2, dtype=np.float32)
-    x[0::2] = np.real(iq)
-    x[1::2] = np.imag(iq)
-    return np.clip(np.rint(x * scale * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    from . import native
+
+    return native.fc32_to_u8(iq, scale)
 
 
 def read_iq(path_or_fd, fmt: str = "fc32") -> np.ndarray:

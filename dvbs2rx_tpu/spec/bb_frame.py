@@ -105,6 +105,20 @@ class BBFrameParser:
             self.synched = False
             self.stats.bbframe_gap_cnt += 1
 
+        # Fast path: the native host runtime implements the stitch loop
+        # (CRC validation, resync, partial carry, TEI marking) in C.
+        from ..io import native as _native
+
+        if _native.available():
+            ts, new_partial, n_err = _native.ts_stitch(
+                df, self.partial, self.synched, h.syncd // 8
+            )
+            self.synched = True
+            self.partial = new_partial
+            self.stats.error_cnt += n_err
+            self.stats.packet_cnt += ts.size // TS_PACKET_LENGTH
+            return ts
+
         if not self.synched:
             pos = h.syncd // 8 + 1  # skip to first UP, drop its CRC byte
             self.synched = True
