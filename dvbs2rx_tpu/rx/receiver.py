@@ -45,6 +45,9 @@ from ..ops.demap import demap, estimate_snr_qpsk, estimate_snr_generic
 from ..ops.ldpc import LDPCDecoder
 from ..ops.bch import BCHDecoder
 from ..spec.ldpc_tables import get_code
+from ..ops.ldpc import get_decoder as _get_ldpc_decoder
+from ..ops.bch import get_bch_decoder as _get_bch_decoder
+from ..spec.fec_params import DVBS2_MODCODS as _MODCODS
 
 
 
@@ -71,6 +74,9 @@ class RxConfig:
                                   # --pl-freq-est-period default)
     unlock_thresh: int = 3
     closed_loop: bool = True
+    acm_vcm: bool = False         # PLSC-driven variable-MODCOD demodulation
+    pls_list: tuple = ()          # accepted PLS values in ACM/VCM (empty =
+                                  # all non-dummy)
 
     def __post_init__(self):
         key = self.modcod.lower()
@@ -568,3 +574,316 @@ class Receiver:
         for row in kbytes:
             ts.append(self.bb_parser.push(row ^ self._bb_scramble))
         return np.concatenate(ts) if ts else np.empty(0, np.uint8)
+
+
+class ACMReceiver(Receiver):
+    """ACM/VCM receiver: per-frame PLSC decoding drives variable-MODCOD
+    demodulation (reference ``plsync_cc`` with the PLSC decoder enabled,
+    ``lib/plsync_cc_impl.cc:582-594``).
+
+    Differences from the CCM path:
+    - frames are processed one at a time (lengths vary); each payload is
+      handled only after the *next* PLHEADER is decoded (two-SOF rule)
+    - device programs are compiled per PLS value actually encountered
+    - FEC batches group consecutive same-PLS frames so BBFRAMEs reach the
+      TS stitcher in order
+    - frames whose PLS is not in ``pls_list`` are rejected and counted;
+      dummy frames are skipped (reference ``plsync_cc_impl.cc:904-916``)
+    """
+
+    def __init__(self, cfg: RxConfig):
+        assert cfg.acm_vcm
+        super().__init__(cfg)
+        self._pls_enabled = np.zeros(128, dtype=bool)
+        if cfg.pls_list:
+            self._pls_enabled[list(cfg.pls_list)] = True
+        else:
+            self._pls_enabled[:] = True
+            self._pls_enabled[[0, 1, 2, 3]] = False  # dummy frames (modcod 0)
+        self._plsc_jit = jax.jit(self._plsc_impl)
+        self._group_jits = {}
+        self._pls_resources = {}
+        self._curr_pls = None
+        self._fec_queue = []  # ordered [(pls, llr), ...]
+        self.bb_parser = BBFrameParser()  # variable frame sizes
+
+    # ---------- per-PLS resources ----------
+
+    def _resources(self, pls: int):
+        res = self._pls_resources.get(pls)
+        if res is None:
+            info = parse_pls(pls)
+            const, rate = _MODCODS[info.modcod]
+            framesize = "short" if info.short_fecframe else "normal"
+            fec = get_fec_info(framesize, rate)
+            res = {
+                "info": info,
+                "fec": fec,
+                "constellation": const,
+                "rate": rate,
+                "ldpc": _get_ldpc_decoder(fec.ldpc_table, self.cfg.ldpc_max_trials),
+                "bch": _get_bch_decoder(framesize, fec.t, fec.nbch, fec.kbch),
+                "bb_scramble": bb_derandomizer_bytes(fec.kbch // 8),
+                "descr": cplx.from_np(
+                    pl_descrambling_sequence(self.cfg.gold_code)[: info.payload_len]
+                ),
+            }
+            self._pls_resources[pls] = res
+        return res
+
+    # ---------- jitted pieces ----------
+
+    def _plsc_impl(self, hdr_ext):
+        """hdr_ext (91, 2) -> (pls int32, timing metric f32, scores)."""
+        pls, scores = plsync.plsc_decode_soft(hdr_ext[1:])
+        d = cplx.conj_mul(hdr_ext[1:], hdr_ext[:-1])[None]     # (1, 90, 2)
+        metric = plsync.frame_metric(d[:, 1:])[0]
+        return pls, metric, scores
+
+    def _acm_group(self, pls: int):
+        fn = self._group_jits.get(pls)
+        if fn is None:
+            res = self._resources(pls)
+            info = res["info"]
+
+            def impl(hdr_ext, next_hdr_ext, payload, coarse_corrected):
+                headers = jnp.stack([hdr_ext[1:], next_hdr_ext[1:]])  # (2,90,2)
+                plsv = jnp.full((2,), pls, jnp.int32)
+                r = plsync.coarse_autocorr(headers[:1], plsv[:1], full=True)
+                hdr_phase = plsync.plheader_phase(headers, plsv)
+                payload_d = cplx.cmul(payload, jnp.asarray(res["descr"]))
+                if info.has_pilots:
+                    fine = plsync.fine_foffset_pilot_mode(
+                        headers[:1], payload_d[None], plsv[:1], info.n_pilots
+                    )[0]
+                    pil_ph = plsync.pilot_phases(payload_d[None], info.n_pilots)
+                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+                    xfec = plsync.correct_payload_pilots(
+                        payload_d[None], hdr_phase[:1], pil_ph,
+                        fine_ff[None], info.n_slots, info.n_pilots,
+                    )[0]
+                else:
+                    fine = plsync.fine_foffset_pilotless(
+                        hdr_phase[0], hdr_phase[1], info.plframe_len
+                    )
+                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+                    xfec = plsync.correct_payload_pilotless(
+                        payload_d[None], hdr_phase[:1], fine_ff[None]
+                    )[0]
+                if res["constellation"] == "QPSK":
+                    snr_lin = estimate_snr_qpsk(xfec)
+                else:
+                    snr_lin = estimate_snr_generic(
+                        xfec, res["constellation"], res["rate"]
+                    )
+                n0 = 1.0 / jnp.maximum(snr_lin, 1e-9)
+                llrs = demap(
+                    xfec[None], n0[None], res["constellation"], res["rate"]
+                )[0]
+                return {"autocorr": r[0], "fine": fine, "n0": n0, "llrs": llrs}
+
+            fn = jax.jit(impl)
+            self._group_jits[pls] = fn
+        return fn
+
+    # ---------- host pipeline overrides ----------
+
+    def _acquire(self) -> bool:
+        if self._sym_buf.size < self._acq_win:
+            return False
+        metric = np.asarray(
+            self._acq_metric(
+                jnp.asarray(cplx.from_np(self._sym_buf[: self._acq_win]))
+            )
+        )
+        peak = int(np.argmax(metric[: self._acq_win // 2]))
+        if metric[peak] < plsync.THRESHOLD_UNLOCKED or peak < 90:
+            self._sym_buf = self._sym_buf[-(self._acq_win // 2):]
+            return False
+        sof_start = peak - 89
+        # decode this header's PLSC to learn the frame length, then confirm
+        # the next SOF lands where the PLS says it should
+        hdr_ext = self._sym_buf[sof_start - 1: sof_start + 90]
+        pls, m, _ = self._plsc_jit(jnp.asarray(cplx.from_np(hdr_ext)))
+        info = parse_pls(int(pls))
+        nxt = peak + info.plframe_len
+        if nxt >= metric.size:
+            return False  # need more symbols
+        if metric[nxt] < plsync.THRESHOLD_LOCKED:
+            self._sym_buf = self._sym_buf[peak + 1:]
+            return True
+        self._lock_state = "locked"
+        self.stats.lock_cnt += 1
+        self._frame_phase = sof_start
+        self._curr_pls = int(pls)
+        self.stats.sof_cnt += 2
+        return True
+
+    def _process_frames(self, force=False) -> bool:
+        progressed = False
+        while True:
+            fp = self._frame_phase
+            if self._sym_buf.size < fp + 91 or self._curr_pls is None:
+                break
+            info = parse_pls(self._curr_pls)
+            L = info.plframe_len
+            if self._sym_buf.size < fp + L + 91:
+                break
+
+            # decode the next header (two-SOF rule) + verify frame timing
+            nxt_ext = cplx.from_np(self._sym_buf[fp + L - 1: fp + L + 90])
+            next_pls, metric, _ = self._plsc_jit(jnp.asarray(nxt_ext))
+            next_pls, metric = int(next_pls), float(metric)
+            self.stats.sof_cnt += 1
+            if metric > plsync.THRESHOLD_LOCKED:
+                self._unlock_cnt = 0
+            else:
+                self._unlock_cnt += 1
+                if self._unlock_cnt >= self.cfg.unlock_thresh:
+                    self._lock_state = "searching"
+                    self.stats.unlock_cnt += 1
+                    self._sym_buf = self._sym_buf[fp + L:]
+                    self._frame_phase = 0
+                    self._curr_pls = None
+                    self._unlock_cnt = 0
+                    return True
+
+            pls = self._curr_pls
+            info_ok = not info.dummy_frame and self._pls_enabled[pls]
+            if info.dummy_frame:
+                self.stats.dummy_cnt += 1
+            elif not self._pls_enabled[pls]:
+                self.stats.rejected_cnt += 1
+            else:
+                self.stats.frame_cnt += 1
+                hdr_ext = cplx.from_np(self._sym_buf[fp - 1: fp + 90]) \
+                    if fp >= 1 else cplx.from_np(
+                        np.concatenate([self._sym_buf[:1], self._sym_buf[: 90]])
+                    )
+                payload = cplx.from_np(
+                    self._sym_buf[fp + 90: fp + L]
+                )
+                out = self._acm_group(pls)(
+                    jnp.asarray(hdr_ext),
+                    jnp.asarray(nxt_ext),
+                    jnp.asarray(payload),
+                    jnp.asarray(self._coarse_corrected),
+                )
+                self._track_freq_acm(out)
+                self._fec_queue.append((pls, np.asarray(out["llrs"])))
+
+            self._sym_buf = self._sym_buf[fp + L:]
+            self._frame_phase = 0
+            self._curr_pls = next_pls
+            self.stats.locked = True
+            progressed = True
+        return progressed
+
+    def _track_freq_acm(self, out):
+        autocorr = cplx.to_np(out["autocorr"])
+        if self._settle_frames > 0:
+            self._settle_frames -= 1
+        else:
+            self._coarse_acc += autocorr
+            self._coarse_frames += 1
+            new_coarse = False
+            if self._coarse_frames >= self.cfg.coarse_period:
+                est = _coarse_foffset_np(self._coarse_acc)
+                self._coarse_foffset = est
+                self._coarse_corrected = abs(est) < plsync.FINE_FOFFSET_CORR_RANGE
+                self._coarse_acc[:] = 0
+                self._coarse_frames = 0
+                new_coarse = True
+            if self.cfg.closed_loop:
+                adj = 0.0
+                if not self._coarse_corrected:
+                    if new_coarse:
+                        adj = self._coarse_foffset
+                else:
+                    adj = float(out["fine"])
+                if adj != 0.0:
+                    self._cum_foffset += adj
+                    self._rot_inc = -self._cum_foffset * 2 * np.pi / self.cfg.sps
+                    in_flight = self._sym_buf.size + self._samp_buf.size // self.cfg.sps
+                    self._settle_frames = in_flight // max(
+                        parse_pls(self._curr_pls or 4).plframe_len, 1
+                    ) + 2
+                    self._coarse_acc[:] = 0
+                    self._coarse_frames = 0
+        self.stats.coarse_corrected = self._coarse_corrected
+        self.stats.coarse_foffset = self._coarse_foffset
+        self.stats.fine_foffset = float(out["fine"])
+        self.stats.cum_freq_offset = self._cum_foffset
+        n0 = float(out["n0"])
+        self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
+
+    # ---------- ordered FEC ----------
+
+    def _drain_fec(self) -> np.ndarray:
+        out = []
+        B = self.cfg.fec_batch
+        while self._fec_queue:
+            pls0 = self._fec_queue[0][0]
+            run = 1
+            while run < len(self._fec_queue) and self._fec_queue[run][0] == pls0:
+                run += 1
+            if run < B and len(self._fec_queue) == run and not self._fec_flush:
+                break  # wait for more same-PLS frames
+            take = min(run, B)
+            batch = [llr for _, llr in self._fec_queue[:take]]
+            del self._fec_queue[:take]
+            out.append(self._decode_acm_batch(pls0, batch))
+        return np.concatenate(out) if out else np.empty(0, np.uint8)
+
+    _fec_flush = False
+
+    def _flush_fec(self) -> np.ndarray:
+        self._fec_flush = True
+        try:
+            return self._drain_fec()
+        finally:
+            self._fec_flush = False
+
+    def _decode_acm_batch(self, pls, llr_list) -> np.ndarray:
+        res = self._resources(pls)
+        B = self.cfg.fec_batch
+        n = len(llr_list)
+        batch = np.stack(llr_list + [llr_list[-1]] * (B - n))
+
+        key = ("fec", pls)
+        fn = self._group_jits.get(key)
+        if fn is None:
+            fec = res["fec"]
+            ldpc, bch = res["ldpc"], res["bch"]
+
+            def fec_impl(llrs):
+                hard, _, iters, ok = ldpc._decode_impl(llrs)
+                corrected, n_corr = bch._decode_impl(hard[:, : fec.nbch])
+                kbits = corrected[:, : fec.kbch].astype(jnp.int32)
+                weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
+                kbytes = jnp.sum(
+                    kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :],
+                    axis=-1,
+                ).astype(jnp.uint8)
+                return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32)
+
+            fn = jax.jit(fec_impl)
+            self._group_jits[key] = fn
+
+        kbytes, n_corr, iters = fn(jnp.asarray(batch))
+        kbytes = np.asarray(kbytes)[:n]
+        n_corr = np.asarray(n_corr)[:n]
+        self.stats.ldpc_frames += n
+        self.stats.ldpc_total_iters += int(iters) * n
+        self.stats.bch_frames += n
+        self.stats.bch_frame_errors += int(np.sum(n_corr < 0))
+        self.stats.bch_corrections += int(np.sum(np.maximum(n_corr, 0)))
+        ts = []
+        for row in kbytes:
+            ts.append(self.bb_parser.push(row ^ res["bb_scramble"]))
+        return np.concatenate(ts) if ts else np.empty(0, np.uint8)
+
+
+def make_receiver(cfg: RxConfig):
+    """Factory: CCM Receiver or ACMReceiver depending on the config."""
+    return ACMReceiver(cfg) if cfg.acm_vcm else Receiver(cfg)

@@ -49,16 +49,21 @@ class BBFrameStats:
 
 
 class BBFrameParser:
-    """Stateful BBFRAME -> TS packet reassembler."""
+    """Stateful BBFRAME -> TS packet reassembler.
 
-    def __init__(self, kbch: int):
-        self.kbch_bytes = kbch // 8
-        self.max_dfl = kbch - BB_HEADER_LENGTH_BITS
+    ``kbch`` may be None for ACM/VCM streams whose frames vary in size; each
+    ``push`` then validates against the pushed frame's own length.
+    """
+
+    def __init__(self, kbch: int = None):
+        self.kbch_bytes = kbch // 8 if kbch else None
+        self.max_dfl = kbch - BB_HEADER_LENGTH_BITS if kbch else None
         self.synched = False
         self.partial = np.empty(0, dtype=np.uint8)
         self.stats = BBFrameStats()
 
-    def parse_header(self, frame: np.ndarray):
+    def parse_header(self, frame: np.ndarray, max_dfl=None):
+        max_dfl = max_dfl if max_dfl is not None else self.max_dfl
         hdr = frame[:BB_HEADER_LENGTH_BYTES]
         if not crc8_check(hdr):
             return None
@@ -75,7 +80,7 @@ class BBFrameParser:
             sync=int(hdr[6]),
             syncd=(int(hdr[7]) << 8) | int(hdr[8]),
         )
-        if h.dfl > self.max_dfl or h.dfl % 8 != 0:
+        if h.dfl > max_dfl or h.dfl % 8 != 0:
             return None
         if h.syncd > h.dfl or h.syncd % 8 != 0:
             return None
@@ -86,9 +91,10 @@ class BBFrameParser:
     def push(self, frame: np.ndarray) -> np.ndarray:
         """Process one descrambled BBFRAME (kbch/8 bytes); returns TS bytes."""
         frame = np.asarray(frame, dtype=np.uint8)
-        assert frame.size == self.kbch_bytes
+        if self.kbch_bytes is not None:
+            assert frame.size == self.kbch_bytes
         self.stats.bbframe_cnt += 1
-        h = self.parse_header(frame)
+        h = self.parse_header(frame, max_dfl=frame.size * 8 - BB_HEADER_LENGTH_BITS)
         if h is None:
             self.synched = False
             self.stats.bbframe_drop_cnt += 1

@@ -1,0 +1,77 @@
+"""ACM/VCM receiver tests: PLSC-driven multi-MODCOD demodulation."""
+
+import numpy as np
+import pytest
+
+from dvbs2rx_tpu.tx import TxConfig
+from dvbs2rx_tpu.tx.transmitter import awgn_channel
+from dvbs2rx_tpu.tx.vcm import VCMTransmitter
+from dvbs2rx_tpu.rx.receiver import RxConfig, make_receiver, ACMReceiver
+from dvbs2rx_tpu.spec.pls import make_pls
+
+from tests.test_e2e_loopback import make_ts, check_ts_subset
+
+
+CFG_A = dict(modcod="qpsk1/2", frame_size="short")
+CFG_B = dict(modcod="qpsk3/5", frame_size="short")
+
+
+def _vcm_waveform(schedule, n_pkts=160, esn0_db=15.0, seed=0):
+    vtx = VCMTransmitter([TxConfig(**CFG_A), TxConfig(**CFG_B)])
+    ts_in = make_ts(n_pkts, seed=seed)
+    iq = vtx.ts_to_iq(ts_in, schedule)
+    iq = awgn_channel(iq, esn0_db, sps=2, seed=seed + 1)
+    return ts_in, iq
+
+
+def _acm_rx(pls_list=None, **kw):
+    cfg = RxConfig(
+        modcod="qpsk1/2", frame_size="short",  # nominal; PLSC overrides
+        acm_vcm=True,
+        pls_list=tuple(pls_list) if pls_list else (),
+        fec_batch=4,
+        **kw,
+    )
+    rx = make_receiver(cfg)
+    assert isinstance(rx, ACMReceiver)
+    return rx
+
+
+def test_vcm_two_modcods():
+    """Alternating QPSK 1/2 and QPSK 3/5 short frames, one TS stream."""
+    ts_in, iq = _vcm_waveform(schedule=[0, 1])
+    rx = _acm_rx()
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=40)
+    assert rx.stats.frame_cnt >= 8
+    assert rx.stats.bch_frame_errors == 0
+    # both MODCODs were exercised
+    assert len(rx._pls_resources) >= 2
+
+
+def test_vcm_with_dummy_frames():
+    """Dummy PLFRAMEs (PLS 0) are skipped and counted."""
+    ts_in, iq = _vcm_waveform(schedule=[0, -1, 1], seed=3)
+    rx = _acm_rx()
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=30)
+    assert rx.stats.dummy_cnt >= 2
+
+
+def test_pls_filter_rejects():
+    """Frames with a PLS outside the filter are rejected and counted
+    (reference ``plsync_cc_impl.cc:904-909``)."""
+    ts_in, iq = _vcm_waveform(schedule=[0, 1], seed=5)
+    pls_a = make_pls(4, True, False)  # qpsk1/2 short
+    rx = _acm_rx(pls_list=[pls_a])
+    ts_out = rx.receive(iq)
+    assert rx.stats.rejected_cnt >= 3
+    # the accepted frames still decode cleanly (TS has gaps at rejections,
+    # so only verify packets are valid input packets)
+    if ts_out.size:
+        in_pkts = set(
+            make_ts(160, seed=5).reshape(-1, 188).tobytes()[i * 188:(i + 1) * 188]
+            for i in range(160)
+        )
+        for i in range(ts_out.size // 188):
+            assert ts_out[i * 188:(i + 1) * 188].tobytes() in in_pkts
