@@ -93,12 +93,17 @@ class SymbolSync:
     old samples at the front, then drop the consumed samples after each call.
     """
 
+    INTERP_METHODS = ("polyphase", "linear", "quadratic", "cubic")
+
     def __init__(self, sps=2, loop_bw=0.01, damping=1.0, rolloff=0.2,
-                 rrc_delay=5, n_subfilt=128):
+                 rrc_delay=5, n_subfilt=128, interp_method="polyphase"):
         if sps < 2 or int(sps) != sps or int(sps) % 2 != 0:
             raise ValueError("sps must be an even integer >= 2")
+        if interp_method not in self.INTERP_METHODS:
+            raise ValueError(f"Unknown interpolation method {interp_method!r}")
         self.sps = int(sps)
         self.midpoint = self.sps // 2
+        self.interp_method = interp_method
         bank, self.subfilt_len, self.subfilt_delay = polyphase_rrc_bank(
             sps, rolloff, rrc_delay, n_subfilt
         )
@@ -106,7 +111,12 @@ class SymbolSync:
         # numpy-resident: jit-captured constants must not be device arrays
         self._bank = bank  # (n_subfilt, L) reversed taps
         self.K1, self.K2 = pi_constants(sps, loop_bw, damping, rolloff)
-        self._history = self.subfilt_len - 2 + self.midpoint
+        if interp_method == "polyphase":
+            self._history = self.subfilt_len - 2 + self.midpoint
+        elif interp_method == "linear":
+            self._history = 1 + self.midpoint
+        else:
+            self._history = 2 + self.midpoint
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
     def history(self) -> int:
@@ -124,15 +134,45 @@ class SymbolSync:
         )
 
     def _interp(self, samples, m_k, mu, bank):
-        """Polyphase interpolant at basepoint m_k; returns a (2,) IQ pair."""
-        idx_subfilt = jnp.clip(
-            jnp.floor(self.n_subfilt * mu).astype(jnp.int32), 0, self.n_subfilt - 1
-        )
-        taps = jax.lax.dynamic_index_in_dim(bank, idx_subfilt, keepdims=False)
-        start = m_k + 2 - self.subfilt_len
-        window = jax.lax.dynamic_slice_in_dim(samples, start, self.subfilt_len,
-                                              axis=0)                 # (L, 2)
-        return jnp.sum(window * taps[:, None], axis=0)                # (2,)
+        """Interpolant at basepoint m_k; returns a (2,) IQ pair.
+
+        Interpolators follow the reference (``symbol_sync_cc_impl.cc:23-66``,
+        Rice Ch. 8): polyphase RRC subfilter (default, fuses the matched
+        filter), linear (Eq. 8.61), quadratic and cubic Farrow (Tables
+        8.4.1/8.4.2). The Farrow/linear variants assume matched filtering is
+        done upstream.
+        """
+        if self.interp_method == "polyphase":
+            idx_subfilt = jnp.clip(
+                jnp.floor(self.n_subfilt * mu).astype(jnp.int32),
+                0, self.n_subfilt - 1,
+            )
+            taps = jax.lax.dynamic_index_in_dim(bank, idx_subfilt, keepdims=False)
+            start = m_k + 2 - self.subfilt_len
+            window = jax.lax.dynamic_slice_in_dim(
+                samples, start, self.subfilt_len, axis=0
+            )                                                          # (L, 2)
+            return jnp.sum(window * taps[:, None], axis=0)             # (2,)
+        if self.interp_method == "linear":
+            w = jax.lax.dynamic_slice_in_dim(samples, m_k, 2, axis=0)
+            return mu * w[1] + (1.0 - mu) * w[0]
+        # Farrow structures use samples m_k-2 .. m_k+1
+        w = jax.lax.dynamic_slice_in_dim(samples, m_k - 2, 4, axis=0)[::-1]
+        if self.interp_method == "quadratic":
+            coef2 = jnp.asarray(np.array([0.5, -0.5, -0.5, 0.5], np.float32))
+            coef1 = jnp.asarray(np.array([-0.5, 1.5, -0.5, -0.5], np.float32))
+            v2 = jnp.sum(w * coef2[:, None], axis=0)
+            v1 = jnp.sum(w * coef1[:, None], axis=0)
+            v0 = w[2]  # in[m_k - 1]
+            return (mu * v2 + v1) * mu + v0
+        coef3 = jnp.asarray(np.array([1 / 6, -0.5, 0.5, -1 / 6], np.float32))
+        coef2 = jnp.asarray(np.array([0.0, 0.5, -1.0, 0.5], np.float32))
+        coef1 = jnp.asarray(np.array([-1 / 6, 1.0, -0.5, -1 / 3], np.float32))
+        v3 = jnp.sum(w * coef3[:, None], axis=0)
+        v2 = jnp.sum(w * coef2[:, None], axis=0)
+        v1 = jnp.sum(w * coef1[:, None], axis=0)
+        v0 = w[2]
+        return (((mu * v3) + v2) * mu + v1) * mu + v0
 
     def _step_impl(self, state: SymbolSyncState, samples, n_out: int):
         nominal_step = 1.0 / self.sps

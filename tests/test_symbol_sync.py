@@ -115,3 +115,43 @@ def test_pi_constants_sign():
     # decrementing counter -> negative gains
     assert K1 < 0 and K2 < 0
     assert abs(K2) < abs(K1)
+
+
+def _rc_waveform(n_syms, sps, rolloff, seed=0, frac_delay=0.0):
+    """Raised-cosine shaped QPSK (Tx RRC + Rx MF already applied)."""
+    import numpy as np
+    from dvbs2rx_tpu.spec.rrc import root_raised_cosine
+    rng = np.random.default_rng(seed)
+    s = (1 - 2 * rng.integers(0, 2, (n_syms, 2))) / np.sqrt(2)
+    syms = (s[:, 0] + 1j * s[:, 1]).astype(np.complex64)
+    ntaps = 2 * sps * 10 + 1
+    tx = root_raised_cosine(sps, sps, 1.0, rolloff, ntaps)
+    mf = root_raised_cosine(1.0, sps, 1.0, rolloff, ntaps)
+    rc = np.convolve(tx, mf)
+    up = np.zeros(n_syms * sps, dtype=np.complex64)
+    up[::sps] = syms
+    iq = np.convolve(up, rc).astype(np.complex64)
+    if frac_delay:
+        n = iq.size
+        f = np.fft.fftfreq(n)
+        iq = np.fft.ifft(np.fft.fft(iq) * np.exp(-2j * np.pi * f * frac_delay))
+        iq = iq.astype(np.complex64)
+    return syms, iq
+
+
+@pytest.mark.parametrize("method", ["linear", "quadratic", "cubic"])
+def test_other_interpolators_converge(method):
+    """The reference's alternative interpolators (which assume an upstream
+    matched filter) lock on RC-shaped QPSK."""
+    sps, rolloff = 2, 0.2
+    syms, iq = _rc_waveform(4000, sps, rolloff, seed=9, frac_delay=0.43)
+    sync = SymbolSync(sps=sps, loop_bw=0.01, rolloff=rolloff,
+                      interp_method=method)
+    state = sync.init_state()
+    state, out = sync.step(state, cplx.from_np(iq), 3500)
+    out = cplx.to_np(out)
+    evm = _best_alignment_evm(out[1500:], syms[1500 - 40:])
+    # linear interpolation at 2 samples/symbol has inherent ~14% EVM on RC
+    # pulses mid-sample; the Farrow interpolators do much better
+    limit = 0.2 if method == "linear" else 0.1
+    assert evm < limit, f"{method}: EVM {evm:.3f}"
