@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Post-LDPC/BCH BER and FER over an Es/N0 sweep (the BASELINE.json metric).
+
+Runs the demap -> LDPC -> BCH chain over synthetic codewords at each Es/N0
+point and reports BER before decoding, after LDPC, and after BCH, plus FER —
+the counterpart of the reference's AFF3CT FEC harnesses (``bench/fec/``).
+
+Usage:
+    python tools/ber_sweep.py --modcod qpsk1/2 --frame-size normal \
+        --esn0 0.5 1.0 1.5 --frames 64 [--json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modcod", default="qpsk1/2")
+    ap.add_argument("--frame-size", default="short")
+    ap.add_argument("--esn0", type=float, nargs="+", default=[0.0, 0.5, 1.0, 1.5, 2.0])
+    ap.add_argument("--frames", type=int, default=32, help="frames per point")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iterations", type=int, default=25)
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache, force_cpu
+
+    enable_compilation_cache()
+    if args.cpu:
+        force_cpu()
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.spec.fec_params import MODCOD_NUMBERS, DVBS2_MODCODS, get_fec_info
+    from dvbs2rx_tpu.spec.ldpc_tables import get_code
+    from dvbs2rx_tpu.spec import bch_spec
+    from dvbs2rx_tpu.spec.interleaver import interleave
+    from dvbs2rx_tpu.spec.constellations import map_bits, BITS_PER_SYMBOL
+    from dvbs2rx_tpu.ops import cplx
+    from dvbs2rx_tpu.ops.demap import demap
+    from dvbs2rx_tpu.ops.ldpc import get_decoder
+    from dvbs2rx_tpu.ops.bch import get_bch_decoder
+
+    const, rate = DVBS2_MODCODS[MODCOD_NUMBERS[args.modcod.lower()]]
+    fec = get_fec_info(args.frame_size, rate)
+    code = get_code(fec.ldpc_table)
+    ldpc = get_decoder(fec.ldpc_table, args.iterations)
+    bch = get_bch_decoder(fec.framesize, fec.t, fec.nbch, fec.kbch)
+    n_mod = BITS_PER_SYMBOL[const]
+
+    rng = np.random.default_rng(0)
+    results = []
+    for esn0_db in args.esn0:
+        esn0 = 10 ** (esn0_db / 10)
+        n0 = 1.0 / esn0
+        sigma = np.sqrt(n0 / 2)
+        raw_errs = ldpc_errs = bch_errs = 0
+        fer = 0
+        total_info = total_coded = 0
+        done = 0
+        while done < args.frames:
+            B = min(args.batch, args.frames - done)
+            # encode
+            msgs = rng.integers(0, 256, (B, fec.kbch // 8), dtype=np.uint8)
+            cws = np.empty((B, fec.nldpc), dtype=np.uint8)
+            for i in range(B):
+                par = bch_spec.bch_encode_bytes(msgs[i], fec.framesize, fec.t)
+                bch_cw = np.concatenate([np.unpackbits(msgs[i]), np.unpackbits(par)])
+                cws[i] = code.encode(bch_cw)
+            # modulate + AWGN + demap
+            llr_batch = np.empty((B, fec.nldpc), dtype=np.int8)
+            for i in range(B):
+                bits = interleave(cws[i], const, rate)
+                syms = map_bits(bits, const, rate).astype(np.complex64)
+                noise = rng.normal(0, sigma, (syms.size, 2)).astype(np.float32)
+                noisy = syms + noise[:, 0] + 1j * noise[:, 1]
+                llrs = demap(
+                    jnp.asarray(cplx.from_np(noisy))[None],
+                    jnp.asarray([np.float32(n0)]),
+                    const,
+                    rate,
+                )
+                llr_batch[i] = np.asarray(llrs)[0]
+            raw_errs += int(np.sum((llr_batch < 0) != cws))
+            total_coded += B * fec.nldpc
+            # decode
+            hard, _, iters, ok = ldpc(llr_batch)
+            hard = np.asarray(hard)
+            ldpc_errs += int(np.sum(hard[:, : fec.kbch] != cws[:, : fec.kbch]))
+            corrected, n_corr = bch(hard[:, : fec.nbch])
+            corrected = np.asarray(corrected)
+            info_bits = np.unpackbits(msgs, axis=1)
+            errs = np.sum(corrected[:, : fec.kbch] != info_bits, axis=1)
+            bch_errs += int(errs.sum())
+            fer += int(np.sum(errs > 0))
+            total_info += B * fec.kbch
+            done += B
+        results.append({
+            "esn0_db": esn0_db,
+            "raw_ber": raw_errs / total_coded,
+            "post_ldpc_ber": ldpc_errs / total_info,
+            "post_bch_ber": bch_errs / total_info,
+            "fer": fer / args.frames,
+            "frames": args.frames,
+        })
+        if not args.json:
+            r = results[-1]
+            print(
+                f"Es/N0 {esn0_db:5.2f} dB | raw BER {r['raw_ber']:.3e} | "
+                f"post-LDPC {r['post_ldpc_ber']:.3e} | "
+                f"post-BCH {r['post_bch_ber']:.3e} | FER {r['fer']:.3e}"
+            )
+    if args.json:
+        print(json.dumps({"modcod": args.modcod, "frame_size": args.frame_size,
+                          "points": results}))
+
+
+if __name__ == "__main__":
+    main()
