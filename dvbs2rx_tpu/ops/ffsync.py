@@ -62,11 +62,12 @@ class FeedForwardSync:
     """
 
     def __init__(self, sps=2, rolloff=0.2, rrc_delay=5, n_subfilt=128,
-                 smooth=0.5):
+                 smooth=0.5, est_window=16384):
         if sps != 2:
             raise ValueError("FeedForwardSync currently supports sps=2")
         self.sps = sps
         self.smooth = smooth
+        self.est_window = est_window
         bank, self.subfilt_len, self.subfilt_delay = polyphase_rrc_bank(
             sps, rolloff, rrc_delay, n_subfilt
         )
@@ -95,6 +96,9 @@ class FeedForwardSync:
         2/T Nyquist edge and must be created *after* resampling, not before
         (|x|^2 at 2/T aliases).
         """
+        # a subwindow is ample for the estimate (variance ~ 1/N) and halves
+        # the front-end cost on large blocks
+        samples = samples[: self.est_window]
         n = samples.shape[0]
         up = jnp.zeros((2 * n, 2), jnp.float32).at[::2].set(samples)
         hb = jnp.asarray(self._hb)
