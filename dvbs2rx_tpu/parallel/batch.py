@@ -61,7 +61,7 @@ class BatchedPipeline:
                 )
             )(headers_ext, payloads)
             llrs = group["llrs"].reshape(-1, cfg.fec.nldpc)
-            kbytes, n_corr, iters, ok = self._rx._fec_stage_impl(llrs)
+            kbytes, n_corr, iters, ok, _hard = self._rx._fec_stage_impl(llrs)
             C, F = n_channels, frames_per_step
             # cross-channel aggregations: with the channel axis sharded over
             # the mesh, XLA lowers these reductions to ICI collectives

@@ -178,7 +178,13 @@ class Receiver:
         self._frame_group = jax.jit(
             self._frame_group_impl, static_argnames=("n_frames",)
         )
+        self._frame_group_refined = jax.jit(
+            lambda h, p, cc, n0: self._frame_group_impl(
+                h, p, cc, n_frames=cfg.frame_group, n0_override=n0
+            )
+        )
         self._fec_stage = jax.jit(self._fec_stage_impl)
+        self._snr_refine = jax.jit(self._snr_refine_impl)
         self.reset()
 
     # ------------- state -------------
@@ -202,7 +208,9 @@ class Receiver:
         self._settle_frames = 0   # frames to drain before the next closed-loop
                                   # accumulation (pipeline-latency guard)
         self._n0 = None
+        self._n0_refined = None
         self._llr_queue = []
+        self._xfec_queue = []   # device arrays paired with _llr_queue rows
         self.bb_parser = BBFrameParser(self.cfg.fec.kbch)
 
     # ------------- public API -------------
@@ -371,12 +379,20 @@ class Receiver:
                 [payloads, np.repeat(payloads[-1:], F0 - F, axis=0)], axis=0
             )
 
-        out = self._frame_group(
-            jnp.asarray(cplx.from_np(headers_ext)),
-            jnp.asarray(cplx.from_np(payloads)),
-            jnp.asarray(self._coarse_corrected),
-            n_frames=F0,
-        )
+        if self._n0_refined is not None:
+            out = self._frame_group_refined(
+                jnp.asarray(cplx.from_np(headers_ext)),
+                jnp.asarray(cplx.from_np(payloads)),
+                jnp.asarray(self._coarse_corrected),
+                jnp.float32(self._n0_refined),
+            )
+        else:
+            out = self._frame_group(
+                jnp.asarray(cplx.from_np(headers_ext)),
+                jnp.asarray(cplx.from_np(payloads)),
+                jnp.asarray(self._coarse_corrected),
+                n_frames=F0,
+            )
         metrics = np.asarray(out["metric"])[: F + 1]
         n0 = float(out["n0"])
         autocorr = cplx.to_np(out["autocorr"])[:F]             # (F, 89)
@@ -451,21 +467,29 @@ class Receiver:
         self._n0 = n0
         self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
 
-        # ---- queue LLRs for FEC ----
+        # ---- queue LLRs for FEC (xfec symbols stay on device for the
+        # post-decoder SNR refinement) ----
         llrs = np.asarray(out["llrs"])[:F]
         for k in range(F):
             self._llr_queue.append(llrs[k])
+            self._xfec_queue.append(out["xfec"][k])
 
         self._sym_buf = self._sym_buf[self._frame_phase + F * L:]
         self._frame_phase = 0
         self.stats.locked = True
         return True
 
-    def _frame_group_impl(self, headers_ext, payloads, coarse_corrected, n_frames):
+    def _frame_group_impl(self, headers_ext, payloads, coarse_corrected, n_frames,
+                          n0_override=None):
         """Jitted per-group processing: metric, sync, correction, demap.
 
+        ``n0_override``: refined post-decoder N0 (used once the first decoded
+        batch reports back, reference ``xfecframe_demapper_cb`` d_waiting_first_llr
+        semantics); None -> data-aided estimate only.
+
         All outputs are host-transfer-safe dtypes (f32/i8); complex results
-        are returned as (..., 2) float pairs.
+        are returned as (..., 2) float pairs. ``xfec`` is returned planar for
+        the refinement path - keep it on device.
         """
         cfg = self.cfg
         info = cfg.pls_info
@@ -515,9 +539,11 @@ class Receiver:
         else:
             snr_lin = estimate_snr_generic(xfec[0], cfg.constellation, cfg.rate)
         n0 = 1.0 / jnp.maximum(snr_lin, 1e-9)
+        n0_demap = n0 if n0_override is None else n0_override
 
         llrs = demap(
-            xfec, jnp.broadcast_to(n0, (n_frames,)), cfg.constellation, cfg.rate
+            xfec, jnp.broadcast_to(n0_demap, (n_frames,)), cfg.constellation,
+            cfg.rate,
         )
         return {
             "metric": metric,
@@ -525,6 +551,7 @@ class Receiver:
             "fine": fine,
             "n0": n0,
             "llrs": llrs,
+            "xfec": xfec,
         }
 
     # ------------- FEC -------------
@@ -538,16 +565,53 @@ class Receiver:
         kbytes = jnp.sum(
             kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :], axis=-1
         ).astype(jnp.uint8)
+        # hard stays on device for the post-decoder SNR refinement
         return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32), \
-            ok.astype(jnp.int32)
+            ok.astype(jnp.int32), hard
+
+    def _snr_refine_impl(self, xfec, hard_bits):
+        """Refined linear SNR from decoded bits (reference
+        ``xfecframe_demapper_cb_impl.cc:188-318``): re-map the decoded
+        codeword to reference constellation points and measure the error
+        against the saved XFECFRAME symbols."""
+        from ..spec.constellations import constellation_points
+        from ..spec.interleaver import column_order
+
+        cfg = self.cfg
+        n_mod = self.cfg.pls_info.n_mod
+        order = column_order(cfg.constellation, cfg.rate)
+        bits = hard_bits.astype(jnp.int32)
+        B = bits.shape[0]
+        rows = bits.shape[1] // n_mod
+        if order is None:
+            # no interleaver: codeword bits are already symbol-major
+            sym_bits = bits.reshape(B, rows, n_mod)
+        else:
+            # interleaved: codeword = n_mod column blocks; symbol bit k comes
+            # from column order[k]
+            cols = bits.reshape(B, n_mod, rows)
+            sym_bits = jnp.stack([cols[:, c] for c in order], axis=-1)
+        idx = jnp.zeros((B, rows), jnp.int32)
+        for b in range(n_mod):
+            idx = (idx << 1) | sym_bits[..., b]
+        pts = jnp.asarray(cplx.from_np(
+            constellation_points(cfg.constellation, cfg.rate)
+        ))
+        ref = pts[idx]                                         # (B, rows, 2)
+        sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
+        np_ = jnp.sum(jnp.sum((xfec - ref) ** 2, axis=-1), axis=-1)
+        snr = sp / jnp.maximum(np_, 1e-12)
+        return jnp.mean(snr)
 
     def _drain_fec(self) -> np.ndarray:
         out = []
         B = self.cfg.fec_batch
         while len(self._llr_queue) >= B:
             batch = np.stack(self._llr_queue[:B])
+            xfecs = self._xfec_queue[:B]
             del self._llr_queue[:B]
-            out.append(self._decode_batch(batch))
+            del self._xfec_queue[:B]
+            out.append(self._decode_batch(batch, xfecs=xfecs))
         return np.concatenate(out) if out else np.empty(0, np.uint8)
 
     def _flush_fec(self) -> np.ndarray:
@@ -557,12 +621,22 @@ class Receiver:
         B = self.cfg.fec_batch
         n = len(self._llr_queue)
         batch = np.stack(self._llr_queue + [self._llr_queue[-1]] * (B - n))
+        xfecs = self._xfec_queue[:n]
         self._llr_queue = []
-        return self._decode_batch(batch, valid=n)
+        self._xfec_queue = []
+        return self._decode_batch(batch, valid=n, xfecs=xfecs)
 
-    def _decode_batch(self, batch, valid=None) -> np.ndarray:
+    def _decode_batch(self, batch, valid=None, xfecs=None) -> np.ndarray:
         valid = batch.shape[0] if valid is None else valid
-        kbytes, n_corr, iters, ok = self._fec_stage(jnp.asarray(batch))
+        kbytes, n_corr, iters, ok, hard = self._fec_stage(jnp.asarray(batch))
+        if xfecs:
+            # refine N0 from the decoded codewords (all device-side; only the
+            # final scalar crosses to the host)
+            xfec_stack = jnp.stack(list(xfecs))
+            snr = float(self._snr_refine(xfec_stack, hard[: len(xfecs)]))
+            if snr > 0:
+                self._n0_refined = 1.0 / snr
+                self.stats.snr_db = float(10 * np.log10(snr))
         kbytes = np.asarray(kbytes)[:valid]
         n_corr = np.asarray(n_corr)[:valid]
         self.stats.ldpc_frames += valid

@@ -19,3 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is compile-dominated
+from dvbs2rx_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
