@@ -74,6 +74,8 @@ class RxConfig:
                                   # --pl-freq-est-period default)
     unlock_thresh: int = 3
     closed_loop: bool = True
+    agc: bool = True              # normalize input power (the reference chain
+                                  # starts with an AGC block)
     acm_vcm: bool = False         # PLSC-driven variable-MODCOD demodulation
     pls_list: tuple = ()          # accepted PLS values in ACM/VCM (empty =
                                   # all non-dummy)
@@ -253,6 +255,11 @@ class Receiver:
     # ------------- front end -------------
 
     def _frontend_impl(self, samples, state, rot_phase, rot_inc):
+        if self.cfg.agc:
+            # block AGC: unit average sample power (signal + noise), matching
+            # the AGC the reference app places ahead of the rotator
+            power = jnp.mean(samples[..., 0] ** 2 + samples[..., 1] ** 2)
+            samples = samples * jax.lax.rsqrt(jnp.maximum(power, 1e-12))
         rotated, _ = rotate_block(samples, rot_phase, rot_inc)
         if self.cfg.sym_sync_impl == "ffw":
             new_state, syms, consumed = self.sym_sync._step_impl(

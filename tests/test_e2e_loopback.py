@@ -129,3 +129,26 @@ def test_loopback_16apsk():
     ts_in, ts_out, rx = run_loopback(modcod="16apsk2/3", esn0_db=16.0, seed=22)
     check_ts_subset(ts_in, ts_out, min_packets=15)
     assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_32apsk():
+    """32APSK 3/4 short: 5-bit max-log demapper (beyond the reference Rx)."""
+    ts_in, ts_out, rx = run_loopback(modcod="32apsk3/4", esn0_db=19.0, seed=23)
+    check_ts_subset(ts_in, ts_out, min_packets=12)
+    assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_u8_format():
+    """u8 (RTL-SDR style) IQ round trip through the io conversion path."""
+    from dvbs2rx_tpu.io.iq import fc32_to_u8, u8_to_fc32
+
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              sps=2, rolloff=0.2))
+    ts_in = make_ts((8 * tx.df_bytes) // 188 + 2, seed=31)
+    iq = awgn_channel(tx.ts_to_iq(ts_in), 13.0, sps=2, seed=32)
+    # quantize to u8 like an RTL-SDR capture (scale down to avoid clipping)
+    iq_u8 = fc32_to_u8(iq * 0.25)
+    iq_rt = u8_to_fc32(iq_u8)
+    rx = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4))
+    ts_out = rx.receive(iq_rt)
+    check_ts_subset(ts_in, ts_out, min_packets=20)
