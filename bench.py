@@ -26,15 +26,18 @@ import numpy as np
 
 
 def timeit(fn, *args, warmup=3, iters=20):
+    """Sustained (pipelined) per-step time: submit all iterations and block
+    once. This measures streaming throughput — and is robust to the tunneled
+    environment's per-dispatch round-trip latency, which a block-per-step
+    loop would measure instead."""
     import jax
 
     for _ in range(warmup):
         out = fn(*args)
         jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 
