@@ -76,3 +76,24 @@ def test_mixed_batch_converges_together(code, decoder):
     hard, _, iters, ok = decoder(noisy)
     assert np.all(np.asarray(ok))
     assert np.array_equal(np.asarray(hard), cw)
+
+
+@pytest.mark.parametrize("table,esn0_db", [
+    ("S2_C2", -1.0),    # rate 1/3 short (threshold ~ -1.2 dB BPSK-equivalent)
+    ("S2X_C1", -2.0),   # rate 11/45 short
+    ("T2_B3", 3.0),     # DVB-T2 rate 3/5 short
+])
+def test_other_code_tables(table, esn0_db):
+    """Decoder generality across S2 / S2X / T2 short tables."""
+    c = get_code(table)
+    dec = LDPCDecoder(c, max_trials=25)
+    rng = np.random.default_rng(11)
+    info = rng.integers(0, 2, (2, c.K)).astype(np.uint8)
+    cw = c.encode(info)
+    esn0 = 10 ** (esn0_db / 10)
+    n0 = 1 / esn0
+    y = (1.0 - 2.0 * cw) + rng.normal(0, np.sqrt(n0 / 2), cw.shape)
+    llrs = np.clip(np.rint(y * 4 / n0), -128, 127).astype(np.int8)
+    hard, _, iters, ok = dec(llrs)
+    assert np.all(np.asarray(ok))
+    assert np.array_equal(np.asarray(hard), cw)
