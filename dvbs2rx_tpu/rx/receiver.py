@@ -76,6 +76,8 @@ class RxConfig:
     closed_loop: bool = True
     agc: bool = True              # normalize input power (the reference chain
                                   # starts with an AGC block)
+    out_stream: str = "ts"        # "ts" (MPEG TS) or "bb" (descrambled
+                                  # BBFRAMEs, reference --out-stream bb)
     acm_vcm: bool = False         # PLSC-driven variable-MODCOD demodulation
     pls_list: tuple = ()          # accepted PLS values in ACM/VCM (empty =
                                   # all non-dummy)
@@ -651,6 +653,9 @@ class Receiver:
         self.stats.bch_frames += valid
         self.stats.bch_frame_errors += int(np.sum(n_corr < 0))
         self.stats.bch_corrections += int(np.sum(np.maximum(n_corr, 0)))
+        if self.cfg.out_stream == "bb":
+            # tap the descrambled BBFRAMEs (reference --out-stream bb)
+            return (kbytes ^ self._bb_scramble[None, :]).reshape(-1)
         ts = []
         for row in kbytes:
             ts.append(self.bb_parser.push(row ^ self._bb_scramble))
