@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.rrc import polyphase_rrc_bank
+from .pallas_fir import mf_decimate
 
 
 def _halfband_taps(n_taps=23):
@@ -62,12 +63,15 @@ class FeedForwardSync:
     """
 
     def __init__(self, sps=2, rolloff=0.2, rrc_delay=5, n_subfilt=128,
-                 smooth=0.5, est_window=16384):
+                 smooth=0.5, est_window=16384, use_pallas=False):
         if sps != 2:
             raise ValueError("FeedForwardSync currently supports sps=2")
         self.sps = sps
         self.smooth = smooth
         self.est_window = est_window
+        # hand-written Pallas MF kernel; off by default (this environment's
+        # remote Mosaic compiler cannot build it - see PARITY.md)
+        self.use_pallas = use_pallas
         bank, self.subfilt_len, self.subfilt_delay = polyphase_rrc_bank(
             sps, rolloff, rrc_delay, n_subfilt
         )
@@ -147,17 +151,10 @@ class FeedForwardSync:
             jnp.asarray(self._bank), idx_subfilt, keepdims=False
         )                                                     # (L,)
 
-        # matched filter + decimate as one dense convolution per I/Q rail:
-        # y[m] = sum_l samples[m + l] * taps[l], then take y[base :: sps].
-        tr = taps[::-1]  # jnp.convolve flips its kernel; undo for correlation
-        y_re = jnp.convolve(samples[:, 0], tr, mode="valid")
-        y_im = jnp.convolve(samples[:, 1], tr, mode="valid")
-        seg_re = jax.lax.dynamic_slice_in_dim(y_re, base, n_out * sps)
-        seg_im = jax.lax.dynamic_slice_in_dim(y_im, base, n_out * sps)
-        syms = jnp.stack(
-            [seg_re.reshape(n_out, sps)[:, 0], seg_im.reshape(n_out, sps)[:, 0]],
-            axis=-1,
-        )                                                     # (n_out, 2)
+        # matched filter + decimate: y[k] = sum_l x[base + k*sps + l]*taps[l]
+        # (fused Pallas kernel when enabled; XLA conv + strided slice default)
+        syms = mf_decimate(samples, taps, base, sps, n_out,
+                           use_pallas=self.use_pallas)
 
         consumed = n_out * sps + slip_syms * sps
         new_state = FFSyncState(
