@@ -83,3 +83,62 @@ def test_ldpc_matches_reference_decoder(oracle):
             assert ref_ber == 0.0 and our_ber == 0.0
         else:
             assert abs(ref_ber - our_ber) < 0.15 * max(ref_ber, 1e-9)
+
+
+@pytest.fixture(scope="module")
+def bch_oracle(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bch_oracle")
+    stub = d / "gnuradio" / "dvbs2rx"
+    stub.mkdir(parents=True)
+    (stub / "api.h").write_text("#pragma once\n#define DVBS2RX_API\n")
+    out = d / "oracle"
+    main = os.path.join(os.path.dirname(__file__), "..", "tools", "oracle",
+                        "bch_oracle_main.cc")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", f"-I{d}", "-I/root/reference/lib",
+         "-o", str(out), main, "/root/reference/lib/bch.cc",
+         "/root/reference/lib/gf.cc"],
+        check=True,
+    )
+    return str(out)
+
+
+def test_bch_matches_reference_codec(bch_oracle):
+    from dvbs2rx_tpu.spec import bch_spec
+    from dvbs2rx_tpu.ops.bch import BCHDecoder
+
+    fs, t, n, k = "normal", 12, 16200, 16008
+    rng = np.random.default_rng(0)
+    msgs = rng.integers(0, 256, (4, k // 8), dtype=np.uint8)
+
+    # encode: bit-exact
+    p = subprocess.run([bch_oracle, "enc", fs, str(t), str(n)],
+                       input=msgs.tobytes(), capture_output=True, check=True)
+    ref_cw = np.frombuffer(p.stdout, np.uint8).reshape(4, n // 8)
+    ours_cw = np.stack([
+        np.concatenate([m, bch_spec.bch_encode_bytes(m, fs, t)]) for m in msgs
+    ])
+    assert np.array_equal(ref_cw, ours_cw)
+
+    # decode: identical correction counts and outputs (correctable frames)
+    dec = BCHDecoder(fs, t, n, k)
+    cw_bits = np.unpackbits(ours_cw, axis=1)
+    bad = cw_bits.copy()
+    n_err = [0, 3, 12, 20]
+    for i, e in enumerate(n_err):
+        pos = rng.choice(n, e, replace=False)
+        bad[i, pos] ^= 1
+    p = subprocess.run([bch_oracle, "dec", fs, str(t), str(n)],
+                       input=np.packbits(bad, axis=1).tobytes(),
+                       capture_output=True, check=True)
+    step = k // 8 + 4
+    hard, corr = dec(bad)
+    ours_msg = np.packbits(np.asarray(hard)[:, :k], axis=1)
+    for i in range(4):
+        chunk = p.stdout[i * step:(i + 1) * step]
+        ref_corr = int.from_bytes(chunk[k // 8:], "little", signed=True)
+        assert int(np.asarray(corr)[i]) == ref_corr
+        if ref_corr >= 0:  # failed-frame contents are unspecified
+            assert np.array_equal(
+                ours_msg[i], np.frombuffer(chunk[: k // 8], np.uint8)
+            )
