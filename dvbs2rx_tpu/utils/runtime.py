@@ -8,10 +8,14 @@ def enable_compilation_cache(path: str = None):
     TPU where first compiles are slow)."""
     import jax
 
-    path = path or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
-    )
+    if path is None:
+        # separate caches per backend: entries AOT-compiled under the TPU
+        # tunnel's CPU feature flags are not portable to plain CPU runs
+        backend = "cpu" if jax.config.jax_platforms == "cpu" else "dev"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f".jax_cache_{backend}",
+        )
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -14,10 +14,11 @@ from tests.test_e2e_loopback import make_ts, check_ts_subset
 
 CFG_A = dict(modcod="qpsk1/2", frame_size="short")
 CFG_B = dict(modcod="qpsk3/5", frame_size="short")
+CFG_C = dict(modcod="8psk2/3", frame_size="short")
 
 
 def _vcm_waveform(schedule, n_pkts=160, esn0_db=15.0, seed=0):
-    vtx = VCMTransmitter([TxConfig(**CFG_A), TxConfig(**CFG_B)])
+    vtx = VCMTransmitter([TxConfig(**CFG_A), TxConfig(**CFG_B), TxConfig(**CFG_C)])
     ts_in = make_ts(n_pkts, seed=seed)
     iq = vtx.ts_to_iq(ts_in, schedule)
     iq = awgn_channel(iq, esn0_db, sps=2, seed=seed + 1)
@@ -75,3 +76,16 @@ def test_pls_filter_rejects():
         )
         for i in range(ts_out.size // 188):
             assert ts_out[i * 188:(i + 1) * 188].tobytes() in in_pkts
+
+
+def test_vcm_mixed_constellations():
+    """QPSK and 8PSK frames interleaved in one stream: the ACM receiver
+    switches demappers per decoded PLS."""
+    ts_in, iq = _vcm_waveform(schedule=[0, 2, 1], n_pkts=200, esn0_db=16.0,
+                              seed=9)
+    rx = _acm_rx()
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=40)
+    assert rx.stats.bch_frame_errors == 0
+    consts = {r["constellation"] for r in rx._pls_resources.values()}
+    assert {"QPSK", "8PSK"} <= consts
