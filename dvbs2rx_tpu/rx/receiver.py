@@ -46,6 +46,18 @@ from ..ops.ldpc import LDPCDecoder
 from ..ops.bch import BCHDecoder
 from ..spec.ldpc_tables import get_code
 from ..ops.ldpc import get_decoder as _get_ldpc_decoder
+
+
+def _make_ldpc_decoder(table: str, max_trials: int, impl: str = "auto"):
+    """LDPC decoder factory: the hand-written Pallas kernel on TPU hardware
+    (``ops/ldpc_pallas.py``), the XLA roll-based path elsewhere."""
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if impl == "pallas":
+        from ..ops.ldpc_pallas import get_pallas_decoder
+
+        return get_pallas_decoder(table, max_trials)
+    return _get_ldpc_decoder(table, max_trials)
 from ..ops.bch import get_bch_decoder as _get_bch_decoder
 from ..spec.fec_params import DVBS2_MODCODS as _MODCODS
 
@@ -67,6 +79,9 @@ class RxConfig:
     rrc_delay: int = 5
     n_subfilt: int = 128
     ldpc_max_trials: int = 25
+    ldpc_impl: str = "auto"       # "pallas" (hand-written TPU kernel),
+                                  # "xla" (roll-based XLA path), or "auto"
+                                  # (pallas on TPU hardware, xla elsewhere)
     fec_batch: int = 8            # frames decoded together (SIMD-lane analog)
     frame_group: int = 4          # frames processed per device step
     frontend_block: int = 4096    # symbols produced per front-end step
@@ -162,7 +177,9 @@ class Receiver:
             )
         else:
             raise ValueError(f"Unknown sym_sync_impl {cfg.sym_sync_impl!r}")
-        self.ldpc = LDPCDecoder(get_code(cfg.fec.ldpc_table), cfg.ldpc_max_trials)
+        self.ldpc = _make_ldpc_decoder(
+            cfg.fec.ldpc_table, cfg.ldpc_max_trials, cfg.ldpc_impl
+        )
         self.bch = BCHDecoder(
             cfg.fec.framesize, cfg.fec.t, cfg.fec.nbch, cfg.fec.kbch
         )
@@ -707,7 +724,10 @@ class ACMReceiver(Receiver):
                 "fec": fec,
                 "constellation": const,
                 "rate": rate,
-                "ldpc": _get_ldpc_decoder(fec.ldpc_table, self.cfg.ldpc_max_trials),
+                "ldpc": _make_ldpc_decoder(
+                    fec.ldpc_table, self.cfg.ldpc_max_trials,
+                    self.cfg.ldpc_impl,
+                ),
                 "bch": _get_bch_decoder(framesize, fec.t, fec.nbch, fec.kbch),
                 "bb_scramble": bb_derandomizer_bytes(fec.kbch // 8),
                 "descr": cplx.from_np(

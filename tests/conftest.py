@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# the ambient environment sets JAX_PLATFORMS=axon; pin the env var too so
+# runtime helpers that re-apply it (respect_platform_env) agree with the
+# config update below
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
