@@ -2,16 +2,28 @@
 """Benchmark: steady-state IQ->TS receiver throughput on one TPU chip.
 
 Workload: QPSK 1/2 normal FECFRAMEs (the BASELINE.json headline config),
-multi-channel batched receiver in the locked steady state. Stages timed:
+64-channel batched receiver in the locked steady state, Es/N0 6 dB. Stages:
 
   1. front end  — closed-loop rotator + feed-forward O&M symbol timing
                   (dense block conv; RxConfig.sym_sync_impl="ffw")
   2. PL + demap — frame group: timing metric, freq/phase sync, descrambling,
                   soft demap (batched over channels x frames)
-  3. FEC        — layered LDPC (25 iters max) + BCH + bit packing
+  3. FEC        — Pallas layered LDPC + syndrome-gated BCH + bit packing
 
-Throughput = IQ samples consumed / total pipeline time per sample, reported
-as Msamples/s/chip. ``vs_baseline`` compares against the reference's
+Timing methodology (honest under the tunneled device): on this
+environment's axon TPU, ``jax.block_until_ready`` returns WITHOUT waiting
+until the first device->host readback of the process, so naive
+submit-and-block timing under-reports by orders of magnitude
+(tools/bench_audit*.py). Each stage is therefore timed as
+
+    compute = (t_K - t_1) / (K - 1)
+
+where t_1 is one jitted dispatch and t_K is one jitted dispatch containing
+K data-DEPENDENT copies of the stage (the device cannot overlap or elide
+them), both measured after an initial readback forces honest blocking.
+
+Throughput = IQ samples consumed / per-sample device compute, reported as
+Msamples/s/chip. ``vs_baseline`` compares against the reference's
 field-validated real-time operating point (1 Mbaud at 2 samples/symbol =
 2 Msamples/s on an RTL-SDR host CPU, ``docs/support.md:53-61``) since the
 reference publishes no end-to-end throughput figure (BASELINE.md).
@@ -24,21 +36,25 @@ import time
 
 import numpy as np
 
+K = 5          # chained copies per fused timing dispatch
+REPS = 3       # wall-clock repetitions per measured dispatch
 
-def timeit(fn, *args, warmup=3, iters=20):
-    """Sustained (pipelined) per-step time: submit all iterations and block
-    once. This measures streaming throughput — and is robust to the tunneled
-    environment's per-dispatch round-trip latency, which a block-per-step
-    loop would measure instead."""
+
+def chain_time(f1, fK, *args):
+    """Per-stage device compute via fused data-dependent chaining."""
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(f1(*args))
+    jax.block_until_ready(fK(*args))
+
+    def t(f):
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            jax.block_until_ready(f(*args))
+        return (time.perf_counter() - t0) / REPS
+
+    t1, tk = t(f1), t(fK)
+    return max((tk - t1) / (K - 1), 1e-9), t1
 
 
 def main():
@@ -52,7 +68,7 @@ def main():
     from dvbs2rx_tpu.parallel.batch import BatchedPipeline
     from dvbs2rx_tpu.ops.ffsync import FeedForwardSync
     from dvbs2rx_tpu.ops import cplx
-    from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
 
     C = 64                # channels
     F = 2                 # frames per step
@@ -76,34 +92,67 @@ def main():
     )
     symbols = np.stack([noisy.astype(np.complex64)] * C)
 
+    # force honest blocking for the whole process before any timing
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    _ = float(np.asarray(jnp.sum(jnp.ones(8))))
+
     # ---- stage 2+3: batched frame group + FEC
     pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
     headers_ext, payloads = pipe.frame_inputs_from_symbols(symbols)
-    h = jnp.asarray(headers_ext)
-    p = jnp.asarray(payloads)
-    true_flag = jnp.asarray(True)
+    h = jax.device_put(jnp.asarray(headers_ext))
+    p = jax.device_put(jnp.asarray(payloads))
+    flag = jnp.asarray(True)
 
-    t_group_fec = timeit(pipe.step, h, p, true_flag)
-    kbytes, _, stats = pipe.step(h, p, true_flag)
+    def gf_one(h, p, flag):
+        return pipe.step(h, p, flag)[0]
 
-    # ---- stage 1: front end (vmapped feed-forward timing recovery)
+    @jax.jit
+    def gf_many(h, p, flag):
+        kb = pipe.step(h, p, flag)[0]
+        for _ in range(K - 1):
+            eps = (jnp.sum(kb[0, 0, :2]) % 2).astype(jnp.float32) * 1e-12
+            kb = pipe.step(h + eps, p, flag)[0]
+        return kb
+
+    t_group_fec, t1_gf = chain_time(jax.jit(gf_one), gf_many, h, p, flag)
+    kbytes, _, stats = pipe.step(h, p, flag)
+    ldpc_iters = int(stats["ldpc_iters"])
+
+    # ---- stage 1: front end (vmapped feed-forward timing recovery);
+    # chained by threading the timing state, a real recurrence
     sync = FeedForwardSync(sps=sps, rolloff=cfg.rolloff)
     n_out = 32768
-    n_samp = n_out * sps + sync.history()
+    n_samp = n_out * sps + sync.history() + 64
     stim = np.resize(noisy, n_samp).astype(np.complex64)
-    states = jax.tree.map(
-        lambda x: jnp.stack([x] * C), sync.init_state()
-    )
+    states = jax.tree.map(lambda x: jnp.stack([x] * C), sync.init_state())
     samples = jnp.asarray(cplx.from_np(np.stack([stim] * C)))
 
-    front = jax.jit(
-        jax.vmap(lambda st, s: sync._step_impl(st, s, n_out)),
-    )
-    t_front = timeit(front, states, samples)
+    def fe_step(st, s):
+        return jax.vmap(lambda a, b: sync._step_impl(a, b, n_out))(st, s)
 
-    # ---- validation readbacks (AFTER all timing: on this environment's
-    # tunneled TPU, any device->host transfer drops the dispatch path out of
-    # streaming mode and every later dispatch costs ~40 ms)
+    @jax.jit
+    def fe_one(st, s):
+        return fe_step(st, s)[0]
+
+    @jax.jit
+    def fe_many(st, s):
+        for _ in range(K):
+            st = fe_step(st, s)[0]
+        return st
+
+    jax.block_until_ready(fe_one(states, samples))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        jax.block_until_ready(fe_one(states, samples))
+    t1_fe = (time.perf_counter() - t0) / REPS
+    jax.block_until_ready(fe_many(states, samples))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        jax.block_until_ready(fe_many(states, samples))
+    tk_fe = (time.perf_counter() - t0) / REPS
+    t_front = max((tk_fe - t1_fe) / (K - 1), 1e-9)
+
+    # ---- validation readbacks
     bch_errors = int(stats["bch_errors"])
     frames_bytes = np.asarray(kbytes)[0]  # (F, kbch/8)
     tx2 = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
@@ -119,8 +168,6 @@ def main():
     )
     msamps = 1.0 / t_per_sample / 1e6
 
-    import jax
-
     result = {
         "metric": "iq_to_ts_throughput",
         "value": round(msamps, 3),
@@ -130,13 +177,20 @@ def main():
             "device": str(jax.devices()[0]),
             "channels": C,
             "frames_per_step": F,
-            "t_frontend_s": round(t_front, 4),
-            "t_group_fec_s": round(t_group_fec, 4),
+            "t_frontend_s": round(t_front, 6),
+            "t_group_fec_s": round(t_group_fec, 6),
+            "dispatch_latency_s": round(t1_gf - t_group_fec, 4),
             "frontend_msps": round(samples_per_step_front / t_front / 1e6, 2),
-            "group_fec_msps": round(samples_per_step_group / t_group_fec / 1e6, 2),
+            "group_fec_msps": round(
+                samples_per_step_group / t_group_fec / 1e6, 2
+            ),
             "esn0_db": ESN0_DB,
+            "ldpc_iters": ldpc_iters,
+            "ldpc_impl": "pallas"
+            if jax.devices()[0].platform == "tpu" else "xla",
             "post_fec_ber": ber,
             "bch_frame_errors": bch_errors,
+            "timing": "fused data-dependent K-chain (see module docstring)",
         },
     }
     print(json.dumps(result))

@@ -137,7 +137,10 @@ class BCHDecoder:
 
         def term(i, acc):
             coef = sigma[:, i + 1]                              # (B,)
-            expo = (log_sig[:, i + 1][:, None] + ie[i][None, :]) % self.ord
+            # both addends are < ord, so one conditional subtract replaces
+            # the (VPU-emulated, expensive) integer modulo
+            expo = log_sig[:, i + 1][:, None] + ie[i][None, :]
+            expo = jnp.where(expo >= self.ord, expo - self.ord, expo)
             val = jnp.where(coef[:, None] == 0, 0, exp[expo])
             return acc ^ val
 
@@ -150,14 +153,24 @@ class BCHDecoder:
         B = bits.shape[0]
         S = self._syndromes(bits)
         clean = jnp.all(S == 0, axis=1)                         # (B,)
-        sigma, L = self._berlekamp_massey(S)
-        err_mask, n_roots = self._chien(sigma)
-        # failure: locator degree beyond t, or root count mismatch
-        fail = (~clean) & ((L > self.t) | (n_roots != L))
-        apply_mask = (~clean[:, None]) & (~fail[:, None]) & err_mask
-        corrected = bits ^ apply_mask.astype(bits.dtype)
-        n_corr = jnp.where(clean, 0, jnp.where(fail, -1, n_roots))
-        return corrected, n_corr
+
+        def fast(_):
+            # all-frames-clean early exit (the overwhelmingly common case
+            # post-LDPC at operating SNR; mirrors the reference's zero-
+            # syndrome shortcut, lib/bch.cc:467-475, batched)
+            return bits, jnp.zeros((B,), jnp.int32)
+
+        def slow(_):
+            sigma, L = self._berlekamp_massey(S)
+            err_mask, n_roots = self._chien(sigma)
+            # failure: locator degree beyond t, or root count mismatch
+            fail = (~clean) & ((L > self.t) | (n_roots != L))
+            apply_mask = (~clean[:, None]) & (~fail[:, None]) & err_mask
+            corrected = bits ^ apply_mask.astype(bits.dtype)
+            n_corr = jnp.where(clean, 0, jnp.where(fail, -1, n_roots))
+            return corrected, n_corr
+
+        return jax.lax.cond(jnp.all(clean), fast, slow, None)
 
     def __call__(self, bits):
         """bits (B, nbch) uint8 -> (corrected bits, n_corrections (B,)).
