@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Multi-device scaling-efficiency benchmark for the batched receiver.
+
+Runs the 64-channel frame-group + FEC step on meshes of 1/2/4/8 devices
+with the channel axis sharded (``parallel/batch.py``) and reports per-step
+wall time and scaling efficiency vs the 1-device run.
+
+On this environment only one physical TPU chip is reachable, so the
+default mode uses a virtual CPU mesh (``--xla_force_host_platform_device_
+count``): it validates that the sharded program partitions with no
+cross-device traffic on the data path (efficiency ~= ideal minus host-CPU
+contention, since all virtual devices share host cores). On a real pod
+slice the same code path shards over ICI; BASELINE.json's north star is
+>= 0.8 efficiency at 64 channels.
+
+Usage: python tools/scaling_bench.py [n_channels] [frames_per_step]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+if os.environ.get("JAX_PLATFORMS", "") != "tpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.parallel.batch import (
+        BatchedPipeline, make_channel_mesh, shard_channels,
+    )
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    C = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    F = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    modcod, fsz = "qpsk1/2", "short"
+    cfg = RxConfig(modcod=modcod, frame_size=fsz, fec_batch=C * F)
+    L = cfg.pls_info.plframe_len
+
+    tx = Transmitter(TxConfig(modcod=modcod, frame_size=fsz))
+    rng = np.random.default_rng(0)
+    n_pkts = ((F + 2) * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    syms = tx.modulate_ts(pkts.reshape(-1))[: (F + 1) * L + 91]
+    noisy = syms + 0.05 * (
+        rng.normal(size=(syms.size, 2)).astype(np.float32)
+        @ np.array([1, 1j], dtype=np.complex64)
+    )
+    symbols = np.stack([noisy.astype(np.complex64)] * C)
+
+    n_dev = len(jax.devices())
+    results = {}
+    for nd in [1, 2, 4, 8]:
+        if nd > n_dev or C % nd:
+            continue
+        mesh = make_channel_mesh(jax.devices()[:nd])
+        pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F,
+                               mesh=mesh)
+        h, p = pipe.frame_inputs_from_symbols(symbols)
+        h = shard_channels(mesh, jnp.asarray(h))
+        p = shard_channels(mesh, jnp.asarray(p))
+        flag = jnp.asarray(True)
+        out = pipe.step(h, p, flag)
+        jax.block_until_ready(out)
+        _ = int(np.asarray(out[2]["ldpc_iters"]))  # honest blocking
+        n = 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            jax.block_until_ready(pipe.step(h, p, flag))
+        dt = (time.perf_counter() - t0) / n
+        results[nd] = dt
+        base = results[1]
+        eff = base / (dt * nd) if nd > 1 else 1.0
+        thr = C * F * L * cfg.sps / dt / 1e6
+        print(
+            f"devices={nd} step={dt*1e3:.1f}ms throughput={thr:.1f} Msps "
+            f"scaling_efficiency={eff:.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
