@@ -9,8 +9,12 @@ TPU-native reformulation of the reference decoder (``lib/bch.cc:175-487``):
 - Error-locator polynomial: Berlekamp-Massey over GF(2^m), batched across
   frames with exp/log-table arithmetic; 2t tiny sequential steps per frame.
 - Error locations: dense Chien-style evaluation of sigma at alpha^(-e) for
-  every bit position at once (t XOR-accumulated gathers), instead of the
-  reference's per-root search.
+  every bit position at once, reformulated for the MXU: multiplication by
+  the constant alpha^(-e*i) is GF(2)-linear in sigma_i's bits, so the whole
+  evaluation is one int8 matrix product (sigma bits) @ T with a precomputed
+  ((t+1)*m, nbch*m) bit-plane matrix, followed by a mod-2 and a zero test.
+  (The previous 50M-element LUT-gather formulation ran ~30x slower than the
+  reference CPU decoder; the MXU form is ~3 orders of magnitude faster.)
 
 Decode failure (more than t errors) is reported per frame like the
 reference's ``-1`` return: the located roots must match deg(sigma).
@@ -40,14 +44,29 @@ class BCHDecoder:
         self._log_np = field.log.astype(np.int32)              # 2^m
         A = bch_spec.syndrome_bit_matrix(framesize, t, nbch)
         self._A = A.astype(np.float32)                         # (nbch, 2t*m)
-        # Chien exponent table: ie[i, e] = (-(i+1)... ) see _chien
-        e = np.arange(nbch, dtype=np.int64)
-        powers = nbch - 1 - e  # polynomial power of transmitted bit position e
-        ie = np.stack(
-            [(-(powers) * i) % (field.order - 1) for i in range(1, t + 1)]
-        ).astype(np.int32)
-        self._ie = ie                                          # (t, nbch)
+        self._T = self._chien_bit_matrix(field)                # ((t+1)m, nbch*m)
         self._decode = jax.jit(self._decode_impl)
+
+    def _chien_bit_matrix(self, field):
+        """T[i*m+l, e*m+k] = bit k of alpha^l * alpha^(-p_e * i), where
+        p_e = nbch-1-e is the polynomial power of bit position e. Then
+        eval(sigma, alpha^(-p_e)) bits = XOR over rows selected by the set
+        bits of the sigma coefficients — i.e. (sigma_bits @ T) mod 2."""
+        m, t, nbch, ordn = self.m, self.t, self.nbch, self.ord
+        p = (nbch - 1 - np.arange(nbch, dtype=np.int64))       # (nbch,)
+        i = np.arange(t + 1, dtype=np.int64)                   # (t+1,)
+        l = np.arange(m, dtype=np.int64)                       # (m,)
+        T = np.empty(((t + 1) * m, nbch * m), np.int8)
+        k = np.arange(m, dtype=np.int32)
+        for s0 in range(0, nbch, 4096):                        # bound temp RAM
+            pe = p[s0:s0 + 4096]
+            expo = (l[None, :, None] - i[:, None, None] * pe[None, None, :])
+            vals = self._exp_np[expo % ordn]                   # (t+1, m, E)
+            bits = ((vals[..., None] >> k) & 1).astype(np.int8)
+            T[:, s0 * m:(s0 + len(pe)) * m] = bits.reshape(
+                (t + 1) * m, len(pe) * m
+            )
+        return T
 
     # ---- GF helpers (batched) ----
 
@@ -128,25 +147,21 @@ class BCHDecoder:
         return C[:, : self.t + 1], L
 
     def _chien(self, sigma):
-        """sigma (B, t+1) -> (error_mask (B, nbch) bool, n_roots (B,))."""
+        """sigma (B, t+1) -> (error_mask (B, nbch) bool, n_roots (B,)).
+
+        One int8 MXU matmul: eval(sigma, alpha^(-p_e)) for every position e
+        = (sigma coefficient bits) @ T mod 2, zero iff e is an error."""
         B = sigma.shape[0]
-        exp = jnp.asarray(self._exp_np)
-        log = jnp.asarray(self._log_np)
-        ie = jnp.asarray(self._ie)
-        log_sig = log[sigma]                                    # (B, t+1)
-
-        def term(i, acc):
-            coef = sigma[:, i + 1]                              # (B,)
-            # both addends are < ord, so one conditional subtract replaces
-            # the (VPU-emulated, expensive) integer modulo
-            expo = log_sig[:, i + 1][:, None] + ie[i][None, :]
-            expo = jnp.where(expo >= self.ord, expo - self.ord, expo)
-            val = jnp.where(coef[:, None] == 0, 0, exp[expo])
-            return acc ^ val
-
-        acc0 = jnp.ones((B, self.nbch), jnp.int32)              # sigma_0 = 1
-        vals = jax.lax.fori_loop(0, self.t, term, acc0)
-        err = vals == 0
+        m = self.m
+        sig_bits = (
+            (sigma[:, :, None] >> jnp.arange(m, dtype=jnp.int32)) & 1
+        ).reshape(B, (self.t + 1) * m).astype(jnp.int8)
+        s = jnp.dot(
+            sig_bits, jnp.asarray(self._T),
+            preferred_element_type=jnp.int32,
+        )                                                       # (B, nbch*m)
+        eval_bits = (s & 1).reshape(B, self.nbch, m)
+        err = jnp.sum(eval_bits, axis=-1) == 0
         return err, jnp.sum(err, axis=1).astype(jnp.int32)
 
     def _decode_impl(self, bits):

@@ -65,7 +65,7 @@ def _mf_decimate_pallas(samples_t, taps, base, L, sps, n_out, interpret=False):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # samples stay off-chip
+            pl.BlockSpec(memory_space=pl.ANY),      # samples stay off-chip
             pl.BlockSpec(memory_space=pltpu.VMEM),  # taps
         ],
         out_specs=pl.BlockSpec(
