@@ -89,8 +89,12 @@ class RxConfig:
                                   # --pl-freq-est-period default)
     unlock_thresh: int = 3
     closed_loop: bool = True
-    agc: bool = True              # normalize input power (the reference chain
-                                  # starts with an AGC block)
+    agc: bool = True              # input AGC (the reference chain starts
+                                  # with an AGC block, apps/dvbs2-rx:853-856)
+    agc_gain: float = 1.0         # initial gain (reference --agc-gain)
+    agc_rate: float = 1.0         # per-sample update rate (reference
+                                  # --agc-rate; 1.0 = instant block normalize)
+    agc_ref: float = 1.0          # target RMS amplitude (reference --agc-ref)
     out_stream: str = "ts"        # "ts" (MPEG TS) or "bb" (descrambled
                                   # BBFRAMEs, reference --out-stream bb)
     acm_vcm: bool = False         # PLSC-driven variable-MODCOD demodulation
@@ -215,6 +219,7 @@ class Receiver:
         self._samp_buf = np.empty(0, dtype=np.complex64)
         self._sym_buf = np.empty(0, dtype=np.complex64)
         self._ss_state = None  # created lazily (device arrays)
+        self._agc_gain = float(self.cfg.agc_gain)
         self._rot_phase = 0.0
         self._rot_inc = 0.0          # per-sample phase increment (closed loop)
         self._lock_state = "searching"
@@ -273,18 +278,24 @@ class Receiver:
 
     # ------------- front end -------------
 
-    def _frontend_impl(self, samples, state, rot_phase, rot_inc):
+    def _frontend_impl(self, samples, state, rot_phase, rot_inc, agc_gain):
         if self.cfg.agc:
-            # block AGC: unit average sample power (signal + noise), matching
-            # the AGC the reference app places ahead of the rotator
+            # Block-granular AGC: a single-pole loop driving the block RMS
+            # toward agc_ref, with the gain threaded as carry state. The
+            # per-sample update rate of the reference's AGC block maps to a
+            # per-block smoothing factor; the default rate of 1.0 saturates
+            # to an instant block power normalization.
             power = jnp.mean(samples[..., 0] ** 2 + samples[..., 1] ** 2)
-            samples = samples * jax.lax.rsqrt(jnp.maximum(power, 1e-12))
+            target = self.cfg.agc_ref * jax.lax.rsqrt(jnp.maximum(power, 1e-12))
+            alpha = min(1.0, self.cfg.agc_rate * self._fe_nsamp)
+            agc_gain = (1.0 - alpha) * agc_gain + alpha * target
+            samples = samples * agc_gain
         rotated, _ = rotate_block(samples, rot_phase, rot_inc)
         if self.cfg.sym_sync_impl == "ffw":
             new_state, syms, consumed = self.sym_sync._step_impl(
                 state, rotated, self._fe_nout
             )
-            return new_state, syms, consumed
+            return new_state, syms, consumed, agc_gain
         new_state, syms = self.sym_sync._step_impl(state, rotated, self._fe_nout)
         hist = self.sym_sync.history()
         consumed = new_state.n + 1 - hist
@@ -293,7 +304,7 @@ class Receiver:
         new_state = dataclasses.replace(
             new_state, n=jnp.asarray(hist - 1, jnp.int32)
         )
-        return new_state, syms, consumed.astype(jnp.int32)
+        return new_state, syms, consumed.astype(jnp.int32), agc_gain
 
     def _run_frontend(self, force=False):
         if self._ss_state is None:
@@ -308,14 +319,16 @@ class Receiver:
                 ])
             else:
                 return
-            state, syms_f, consumed = self._frontend_step(
+            state, syms_f, consumed, agc_gain = self._frontend_step(
                 jnp.asarray(cplx.from_np(block)),
                 self._ss_state,
                 jnp.float32(self._rot_phase),
                 jnp.float32(self._rot_inc),
+                jnp.float32(self._agc_gain),
             )
             consumed = int(consumed)
             self._ss_state = state
+            self._agc_gain = float(agc_gain)
             self._rot_phase = float(
                 (self._rot_phase + self._rot_inc * consumed) % (2 * np.pi)
             )

@@ -72,6 +72,8 @@ class Transmitter:
         self._ts_residue = np.empty(0, dtype=np.uint8)  # CRC-ized UP stream tail
         self._last_crc = 0
         self._stream_offset = 0  # UP-stream phase (bytes mod 188) at next datafield
+        # Streaming pulse-shape state: last ntaps-1 upsampled input samples
+        self._ps_tail = None
 
     # ---------------- BB framing ----------------
 
@@ -195,8 +197,70 @@ class Transmitter:
         up[::sps] = symbols
         return np.convolve(up, taps).astype(np.complex64)
 
+    def _rrc_taps(self) -> np.ndarray:
+        sps = self.cfg.sps
+        ntaps = 2 * sps * self.cfg.rrc_delay + 1
+        return root_raised_cosine(sps, sps, 1.0, self.cfg.rolloff, ntaps)
+
+    def pulse_shape_stream(self, symbols: np.ndarray) -> np.ndarray:
+        """Streaming pulse shaping: exact chunked equivalent of
+        ``pulse_shape`` with the FIR state carried across calls. The
+        concatenation of all chunk outputs plus ``pulse_shape_flush()``
+        equals the one-shot ``pulse_shape`` of the concatenated symbols."""
+        if symbols.size == 0:
+            return np.empty(0, dtype=np.complex64)
+        taps = self._rrc_taps()
+        if self._ps_tail is None:
+            self._ps_tail = np.zeros(taps.size - 1, dtype=np.complex64)
+        up = np.zeros(symbols.size * self.cfg.sps, dtype=np.complex64)
+        up[:: self.cfg.sps] = symbols
+        buf = np.concatenate([self._ps_tail, up])
+        out = np.convolve(buf, taps, mode="valid").astype(np.complex64)
+        self._ps_tail = buf[-(taps.size - 1):]
+        return out
+
+    def pulse_shape_flush(self) -> np.ndarray:
+        """Drain the streaming pulse-shape filter tail."""
+        taps = self._rrc_taps()
+        if self._ps_tail is None:
+            return np.empty(0, dtype=np.complex64)
+        buf = np.concatenate(
+            [self._ps_tail, np.zeros(taps.size - 1, dtype=np.complex64)]
+        )
+        self._ps_tail = None
+        return np.convolve(buf, taps, mode="valid").astype(np.complex64)
+
     def ts_to_iq(self, ts_bytes: np.ndarray) -> np.ndarray:
         return self.pulse_shape(self.modulate_ts(ts_bytes))
+
+
+class StreamingChannel:
+    """Streaming channel impairments: CFO/phase rotation with an absolute
+    sample counter and AWGN from one generator — the chunked equivalent of
+    ``awgn_channel`` (reference ``apps/dvbs2-tx:579-593`` channel sim)."""
+
+    def __init__(self, esn0_db=None, sps=2, freq_offset=0.0, phase=0.0, seed=0):
+        self.esn0_db = esn0_db
+        self.sps = sps
+        self.freq_offset = freq_offset
+        self.phase = phase
+        self.rng = np.random.default_rng(seed)
+        self.n = 0
+
+    def __call__(self, iq: np.ndarray) -> np.ndarray:
+        iq = np.asarray(iq, dtype=np.complex64)
+        if self.freq_offset or self.phase:
+            n = np.arange(self.n, self.n + iq.size)
+            iq = iq * np.exp(
+                1j * (2 * np.pi * self.freq_offset * n + self.phase)
+            ).astype(np.complex64)
+        self.n += iq.size
+        if self.esn0_db is not None:
+            n0 = 10.0 ** (-self.esn0_db / 10.0)
+            sigma = np.sqrt(self.sps * n0 / 2.0)
+            noise = self.rng.normal(0, sigma, (iq.size, 2)).astype(np.float32)
+            iq = iq + noise[:, 0] + 1j * noise[:, 1]
+        return iq
 
 
 def awgn_channel(iq, esn0_db, sps=2, freq_offset=0.0, phase=0.0, seed=0):

@@ -1,0 +1,78 @@
+"""CLI smoke tests: the dvbs2-tx | dvbs2-rx pipe (reference docs/usage.md
+tier-3 oracle) driven through the actual executables with subprocesses."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+APPS = os.path.join(ROOT, "apps")
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+)
+
+
+def _make_ts(path, n_pkts, seed=0):
+    rng = np.random.default_rng(seed)
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    pkts.tofile(path)
+    return pkts
+
+
+def _run(app, *args, stdin=None, stdout=None):
+    return subprocess.run(
+        [sys.executable, os.path.join(APPS, app), *args],
+        env=ENV, check=True, stdin=stdin, stdout=stdout,
+        stderr=subprocess.PIPE, timeout=600,
+    )
+
+
+@pytest.mark.slow
+def test_cli_tx_rx_file_loopback(tmp_path):
+    ts_in = tmp_path / "in.ts"
+    iq = tmp_path / "iq.fc32"
+    ts_out = tmp_path / "out.ts"
+    pkts = _make_ts(ts_in, 80, seed=7)
+    _run("dvbs2-tx", "--in-file", str(ts_in), "--out-file", str(iq),
+         "--modcod", "qpsk1/2", "--frame-size", "short", "--snr", "12")
+    r = _run("dvbs2-rx", "--in-file", str(iq), "--out-file", str(ts_out),
+             "--modcod", "qpsk1/2", "--frame-size", "short")
+    out = np.fromfile(ts_out, np.uint8)
+    assert out.size % 188 == 0 and out.size >= 60 * 188
+    n = out.size // 188
+    np.testing.assert_array_equal(out.reshape(n, 188), pkts[:n])
+    # final stats JSON goes to stderr
+    import json
+    stats = json.loads(r.stderr.decode().strip().splitlines()[-1])
+    assert stats["locked"] and stats["bch_frame_errors"] == 0
+
+
+@pytest.mark.slow
+def test_cli_stdin_stdout_pipe(tmp_path):
+    """cat in.ts | dvbs2-tx | dvbs2-rx > out.ts"""
+    ts_in = tmp_path / "in.ts"
+    pkts = _make_ts(ts_in, 80, seed=11)
+    with open(ts_in, "rb") as f:
+        tx = subprocess.Popen(
+            [sys.executable, os.path.join(APPS, "dvbs2-tx"),
+             "--modcod", "qpsk1/2", "--frame-size", "short", "--snr", "12"],
+            env=ENV, stdin=f, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        rx = subprocess.run(
+            [sys.executable, os.path.join(APPS, "dvbs2-rx"),
+             "--modcod", "qpsk1/2", "--frame-size", "short"],
+            env=ENV, stdin=tx.stdout, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, timeout=600,
+        )
+        assert tx.wait(timeout=60) == 0 and rx.returncode == 0
+    out = np.frombuffer(rx.stdout, np.uint8)
+    n = out.size // 188
+    assert n >= 60
+    np.testing.assert_array_equal(out[: n * 188].reshape(n, 188), pkts[:n])

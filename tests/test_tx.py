@@ -161,3 +161,34 @@ def test_full_tx_waveform():
     rec = rx[delay: delay + cfg.sps * syms.size: cfg.sps]
     err = np.abs(rec - syms)
     assert np.percentile(err, 99) < 0.05
+
+
+def test_streaming_pulse_shape_equals_one_shot():
+    """Chunked modulate + pulse_shape_stream + flush == one-shot ts_to_iq,
+    including the streaming channel (CFO + AWGN) equivalence."""
+    from dvbs2rx_tpu.tx.transmitter import StreamingChannel, awgn_channel
+
+    ts = make_ts(120, seed=21)
+    cfg = dict(modcod="qpsk1/2", frame_size="short", rrc_delay=25)
+
+    tx1 = Transmitter(TxConfig(**cfg))
+    iq_once = tx1.ts_to_iq(ts)
+
+    tx2 = Transmitter(TxConfig(**cfg))
+    chunks = []
+    for i in range(0, ts.size, 17 * 188):
+        chunk = ts[i: i + 17 * 188]
+        chunks.append(tx2.pulse_shape_stream(tx2.modulate_ts(chunk)))
+    chunks.append(tx2.pulse_shape_flush())
+    iq_stream = np.concatenate(chunks)
+
+    assert iq_stream.size == iq_once.size
+    np.testing.assert_allclose(iq_stream, iq_once, atol=2e-6)
+
+    # streaming channel == one-shot channel
+    ch = StreamingChannel(esn0_db=8.0, sps=2, freq_offset=1e-4, seed=3)
+    imp_stream = np.concatenate(
+        [ch(iq_once[:1000]), ch(iq_once[1000:5000]), ch(iq_once[5000:])]
+    )
+    imp_once = awgn_channel(iq_once, 8.0, sps=2, freq_offset=1e-4, seed=3)
+    np.testing.assert_allclose(imp_stream, imp_once, atol=1e-5)
