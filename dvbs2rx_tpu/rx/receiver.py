@@ -280,13 +280,20 @@ class Receiver:
 
     def _frontend_impl(self, samples, state, rot_phase, rot_inc, agc_gain):
         if self.cfg.agc:
-            # Block-granular AGC: a single-pole loop driving the block RMS
-            # toward agc_ref, with the gain threaded as carry state. The
-            # per-sample update rate of the reference's AGC block maps to a
-            # per-block smoothing factor; the default rate of 1.0 saturates
-            # to an instant block power normalization.
-            power = jnp.mean(samples[..., 0] ** 2 + samples[..., 1] ** 2)
-            target = self.cfg.agc_ref * jax.lax.rsqrt(jnp.maximum(power, 1e-12))
+            # Block-granular AGC: a single-pole loop driving the mean sample
+            # MAGNITUDE toward agc_ref (the reference uses analog.agc_cc,
+            # whose error term is ref - |y|, apps/dvbs2-rx:873). The
+            # magnitude convention matters at low SNR: E|x| = 1 leaves the
+            # total power at ~4/pi for noise-dominated input, which is what
+            # lets the frame-sync timing metric clear the absolute 30/25
+            # thresholds at the 2 dB sensitivity bound (docs/support.md).
+            # The per-sample update rate of the reference's AGC block maps
+            # to a per-block smoothing factor; the default rate of 1.0
+            # saturates to an instant block normalization.
+            mag = jnp.mean(
+                jnp.sqrt(samples[..., 0] ** 2 + samples[..., 1] ** 2)
+            )
+            target = self.cfg.agc_ref / jnp.maximum(mag, 1e-12)
             alpha = min(1.0, self.cfg.agc_rate * self._fe_nsamp)
             agc_gain = (1.0 - alpha) * agc_gain + alpha * target
             samples = samples * agc_gain

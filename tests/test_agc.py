@@ -29,14 +29,16 @@ def _frontend_gain_trace(cfg, iq, n_blocks):
 
 
 def test_agc_instant_normalize_default():
-    """Default agc_rate=1.0 normalizes each block to unit RMS instantly."""
+    """Default agc_rate=1.0 drives each block's mean |x| to agc_ref
+    instantly (the reference agc_cc error term is ref - |y|)."""
     cfg = RxConfig(modcod="qpsk1/4", frame_size="short")
     rng = np.random.default_rng(0)
     iq = (0.03 * (rng.normal(size=2 * 65536) + 1j * rng.normal(size=2 * 65536))
           / np.sqrt(2)).astype(np.complex64)
     gains = _frontend_gain_trace(cfg, iq, 2)
-    # gain jumps straight to ref/rms ~ 1/0.03
-    assert abs(gains[0] - 1 / 0.03) / (1 / 0.03) < 0.05
+    # complex Gaussian with E|x|^2 = 0.03^2 has E|x| = 0.03*sqrt(pi)/2
+    expect = 1.0 / (0.03 * np.sqrt(np.pi) / 2)
+    assert abs(gains[0] - expect) / expect < 0.05
 
 
 def test_agc_slow_loop_converges_to_ref():
@@ -49,12 +51,14 @@ def test_agc_slow_loop_converges_to_ref():
     iq = (amp * (rng.normal(size=n) + 1j * rng.normal(size=n))
           / np.sqrt(2)).astype(np.complex64)
     gains = _frontend_gain_trace(cfg, iq, 20)
-    # monotone approach toward 1/amp = 5, no overshoot beyond a few %
-    assert gains[0] < gains[5] < gains[-1] <= 5.1
-    assert gains[-1] > 4.0
+    # monotone approach toward 1/E|x| = 1/(amp*sqrt(pi)/2), no overshoot
+    # beyond a few %
+    g_target = 1.0 / (amp * np.sqrt(np.pi) / 2)
+    assert gains[0] < gains[5] < gains[-1] <= 1.02 * g_target
+    assert gains[-1] > 0.8 * g_target
     # single-pole: each step moves a constant fraction toward the target
     alphas = [
-        (gains[i + 1] - gains[i]) / (5.0 - gains[i]) for i in range(8)
+        (gains[i + 1] - gains[i]) / (g_target - gains[i]) for i in range(8)
     ]
     assert np.std(alphas) < 0.1 * np.mean(alphas) + 1e-6
 

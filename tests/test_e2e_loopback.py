@@ -42,8 +42,15 @@ def run_loopback(modcod="qpsk1/2", frame_size="short", pilots=False,
 
 def check_ts_subset(ts_in, ts_out, min_packets):
     """Recovered packets must be a contiguous, in-order, bit-exact run of the
-    input packets (start offset free: acquisition drops leading frames)."""
+    input packets (start offset free: acquisition drops leading frames).
+
+    Packets recovered while synchronization is still converging (e.g. during
+    closed-loop CFO pull-in) carry the Transport-Error-Indicator instead of
+    being dropped (reference ``bbdeheader_bb_impl.cc:231-235``); strip any
+    leading TEI-marked packets before the bit-exactness check."""
     assert ts_out.size % 188 == 0
+    while ts_out.size and (ts_out[1] & 0x80):
+        ts_out = ts_out[188:]
     n_out = ts_out.size // 188
     assert n_out >= min_packets, f"only {n_out} packets recovered"
     in_pkts = ts_in.reshape(-1, 188)
@@ -196,6 +203,24 @@ def test_loopback_gold_code_matched():
                            gold_code=17, fec_batch=4))
     ts_out = rx.receive(iq)
     check_ts_subset(ts_in, ts_out, min_packets=20)
+
+
+def test_loopback_min_operating_snr():
+    """The reference's documented sensitivity bound: QPSK 1/4 with pilots
+    operates down to 2 dB Es/N0, where PL synchronization (not FEC) is the
+    bottleneck (``docs/support.md:31-49``). The receiver must acquire frame
+    lock, hold it, and deliver error-free TS at exactly that operating
+    point."""
+    tx = Transmitter(TxConfig(modcod="qpsk1/4", frame_size="short",
+                              pilots=True, sps=2, rolloff=0.2))
+    n_pkts = (16 * tx.df_bytes) // 188 + 2
+    ts_in, ts_out, rx = run_loopback(
+        modcod="qpsk1/4", pilots=True, esn0_db=2.0, seed=41, n_pkts=n_pkts,
+    )
+    check_ts_subset(ts_in, ts_out, min_packets=10)
+    assert rx.stats.locked
+    assert rx.stats.unlock_cnt == 0, "lost frame lock at the operating point"
+    assert rx.stats.bch_frame_errors == 0
 
 
 @pytest.mark.slow
