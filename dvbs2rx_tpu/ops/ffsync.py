@@ -12,15 +12,20 @@ whose every stage is dense vector math:
 3. matched-filter the 2/T input with the polyphase RRC subfilter selected by
    frac(tau) — one dense convolution — and decimate at the symbol offset
 
-Because tau is constant over a block, every symbol in the block shares one
-subfilter phase: the whole "interpolate + MF + decimate" collapses into a
-single strided convolution (VPU/MXU work, no scan). Residual timing drift is
-tracked block-to-block through the carry (integer slips adjust the consumed
-sample count), and the downstream frame sync absorbs the rest.
+Block-to-block the timing position is tracked with a SECOND-ORDER estimator
+(position + rate alpha-beta filter), so a constant symbol-clock offset (ppm
+mismatch between Tx and Rx sample clocks) is followed with zero steady-state
+lag — the dense analog of the Gardner PI loop's integral branch. Within a
+block the position ramp is honored by splitting the matched filter into
+``n_segments`` segments, each using the polyphase subfilter phase at its own
+center; the whole extraction stays a short static stack of strided
+multiply-adds (VPU work, no scan). Integer slips adjust the consumed sample
+count (multi-symbol slips supported), and the downstream frame sync absorbs
+the rest.
 
-Trade-off vs. the Gardner loop: assumes a slowly-varying symbol clock
-(|clock offset| << 1/block), which holds for file replay and TCXO-grade SDR
-front ends (the reference's field configuration). The Gardner path remains
+Rate capture range is clamped to ``MAX_RATE`` samples/symbol (~±125 ppm at
+2 samples/symbol — TCXO-grade; the reference's Gardner loop has a comparable
+pull range for its default loop bandwidth). The Gardner path remains
 available via ``RxConfig(sym_sync_impl="gardner")``.
 """
 
@@ -33,6 +38,9 @@ import numpy as np
 from ..spec.rrc import polyphase_rrc_bank
 from .pallas_fir import mf_decimate
 
+# timing-drift rate bound, in input samples per output symbol
+MAX_RATE = 2.5e-4
+
 
 def _halfband_taps(n_taps=23):
     """Half-band lowpass for 2x interpolation (odd length, zero at even lags)."""
@@ -44,11 +52,12 @@ def _halfband_taps(n_taps=23):
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class FFSyncState:
-    tau: jnp.ndarray       # smoothed timing estimate in input samples [0, sps)
+    tau: jnp.ndarray       # timing position at block start, input samples
+    rate: jnp.ndarray      # timing drift, input samples per output symbol
     initialized: jnp.ndarray  # int32 flag (first block takes tau directly)
 
     def tree_flatten(self):
-        return (self.tau, self.initialized), None
+        return (self.tau, self.rate, self.initialized), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -63,12 +72,15 @@ class FeedForwardSync:
     """
 
     def __init__(self, sps=2, rolloff=0.2, rrc_delay=5, n_subfilt=128,
-                 smooth=0.5, est_window=16384, use_pallas=False):
+                 smooth=0.5, rate_gain=0.3, est_window=16384, n_segments=16,
+                 use_pallas=False):
         if sps != 2:
             raise ValueError("FeedForwardSync currently supports sps=2")
         self.sps = sps
-        self.smooth = smooth
+        self.smooth = smooth          # alpha: position innovation gain
+        self.rate_gain = rate_gain    # beta: rate innovation gain
         self.est_window = est_window
+        self.n_segments = n_segments
         # hand-written Pallas MF kernel; off by default (this environment's
         # remote Mosaic compiler cannot build it - see PARITY.md)
         self.use_pallas = use_pallas
@@ -78,7 +90,9 @@ class FeedForwardSync:
         self.n_subfilt = n_subfilt
         self._bank = bank                       # numpy (n_subfilt, L)
         self._hb = _halfband_taps()             # numpy
-        self._history = self.subfilt_len + 4    # samples kept ahead of new data
+        # +8 slack beyond the subfilter span: room for the within-block
+        # timing ramp (|rate| <= MAX_RATE) on top of the slip deadband
+        self._history = self.subfilt_len + 12
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
     def history(self) -> int:
@@ -87,6 +101,7 @@ class FeedForwardSync:
     def init_state(self) -> FFSyncState:
         return FFSyncState(
             tau=jnp.asarray(0.0, jnp.float32),
+            rate=jnp.asarray(0.0, jnp.float32),
             initialized=jnp.asarray(0, jnp.int32),
         )
 
@@ -98,7 +113,8 @@ class FeedForwardSync:
         The IQ signal (bandwidth (1+alpha)/2T < 1/T) is first interpolated to
         4/T — the squared envelope's timing tone at 1/T sits exactly at the
         2/T Nyquist edge and must be created *after* resampling, not before
-        (|x|^2 at 2/T aliases).
+        (|x|^2 at 2/T aliases). The estimate reads the average position over
+        the window, i.e. the position at the window center.
         """
         # a subwindow is ample for the estimate (variance ~ 1/N) and halves
         # the front-end cost on large blocks
@@ -119,46 +135,93 @@ class FeedForwardSync:
 
     def _step_impl(self, state: FFSyncState, samples, n_out: int):
         sps, L = self.sps, self.subfilt_len
-        tau_new = self._estimate_tau(samples)
-        # Track a *continuous* sampling position: the estimate is only known
-        # modulo one symbol period, so unwrap against the carried position and
-        # low-pass it. When the position drifts past a symbol boundary the
-        # grid must slip by a whole symbol (adjusting the consumed count) —
-        # never by a single sample, which would land between symbols.
-        delta = jnp.mod(tau_new - state.tau + sps / 2, sps) - sps / 2
-        pos = jnp.where(
-            state.initialized > 0, state.tau + self.smooth * delta, tau_new
+        # largest divisor of n_out within the configured segment count (the
+        # segmentation is a phase-granularity knob, not a shape contract)
+        S = next(
+            s for s in range(min(self.n_segments, n_out), 0, -1)
+            if n_out % s == 0
         )
-        # half-symbol hysteresis: a position jittering around the wrap
-        # boundary must not slip back and forth (each slip shifts the symbol
-        # grid and breaks downstream frame alignment)
-        slip_syms = jnp.where(
-            pos < -0.5 * sps, -1, jnp.where(pos >= 1.5 * sps, 1, 0)
-        ).astype(jnp.int32)
-        pos = pos - slip_syms.astype(jnp.float32) * sps       # in [-sps/2, 3sps/2)
+        seg_len = n_out // S
+        n_samp = samples.shape[0]
 
-        # split into integer offset + fractional subfilter phase; the +2
-        # sample slack keeps the extraction start in bounds for pos < 0
-        base = jnp.floor(pos).astype(jnp.int32)
-        mu = pos - base.astype(jnp.float32)
-        base = base + 2
-        idx_subfilt = jnp.clip(
-            jnp.floor(self.n_subfilt * mu).astype(jnp.int32),
+        tau_meas = self._estimate_tau(samples)
+        # symbol index at the measurement window center
+        c_sym = min(self.est_window, n_samp) / (2.0 * sps)
+
+        # ---- alpha-beta tracking: position at block start + drift rate ----
+        # The measurement is only known modulo one symbol period; unwrap the
+        # innovation against the prediction at the window center.
+        pred_c = state.tau + state.rate * c_sym
+        innov = jnp.mod(tau_meas - pred_c + sps / 2, sps) - sps / 2
+        tau0 = jnp.where(
+            state.initialized > 0, state.tau + self.smooth * innov, tau_meas
+        )
+        rate = jnp.where(
+            state.initialized > 0,
+            jnp.clip(
+                state.rate + self.rate_gain * innov / c_sym,
+                -MAX_RATE,
+                MAX_RATE,
+            ),
+            0.0,
+        )
+
+        # ---- segmented polyphase extraction ----
+        # Position of output symbol k: pos(k) = tau0 + rate*k (residual on
+        # top of the nominal k*sps grid). Each segment shares the subfilter
+        # phase at its center; the +2 sample slack keeps extraction starts
+        # in bounds for slightly negative positions.
+        k_centers = (jnp.arange(S, dtype=jnp.float32) + 0.5) * seg_len
+        tau_seg = tau0 + rate * k_centers                     # (S,)
+        base_seg = jnp.floor(tau_seg).astype(jnp.int32)
+        mu_seg = tau_seg - base_seg.astype(jnp.float32)
+        idx_seg = jnp.clip(
+            jnp.floor(self.n_subfilt * mu_seg).astype(jnp.int32),
             0,
             self.n_subfilt - 1,
         )
-        taps = jax.lax.dynamic_index_in_dim(
-            jnp.asarray(self._bank), idx_subfilt, keepdims=False
-        )                                                     # (L,)
+        bank = jnp.asarray(self._bank)
+        taps_seg = bank[idx_seg]                              # (S, L)
 
-        # matched filter + decimate: y[k] = sum_l x[base + k*sps + l]*taps[l]
-        # (fused Pallas kernel when enabled; XLA conv + strided slice default)
-        syms = mf_decimate(samples, taps, base, sps, n_out,
-                           use_pallas=self.use_pallas)
+        starts = base_seg + 2 + jnp.arange(S, dtype=jnp.int32) * seg_len * sps
+        starts = jnp.clip(starts, 0, n_samp - seg_len * sps - L)
+        if S == 1:
+            syms = mf_decimate(samples, taps_seg[0], starts[0], sps, n_out,
+                               use_pallas=self.use_pallas)
+        else:
+            wins = jax.vmap(
+                lambda st: jax.lax.dynamic_slice_in_dim(
+                    samples, st, seg_len * sps + L, axis=0
+                )
+            )(starts)                                         # (S, len, 2)
+            acc = jnp.zeros((S, seg_len, 2), jnp.float32)
+            for l in range(L):
+                seg = jax.lax.slice_in_dim(
+                    wins, l, l + seg_len * sps, axis=1
+                ).reshape(S, seg_len, sps, 2)[:, :, 0]
+                acc = acc + seg * taps_seg[:, l][:, None, None]
+            syms = acc.reshape(n_out, 2)
+
+        # ---- carry + slips ----
+        # Position at the start of the next block (before renormalization)
+        pos_end = tau0 + rate * n_out
+        # Half-symbol hysteresis deadband [-sps/2, 1.5*sps): a position
+        # jittering around the wrap boundary must not slip back and forth
+        # (each slip shifts the symbol grid and breaks downstream frame
+        # alignment). Outside the deadband, slip by however many whole
+        # symbols it takes to re-center (multi-symbol slips cover fast
+        # clock drift over long blocks).
+        in_deadband = (pos_end >= -0.5 * sps) & (pos_end < 1.5 * sps)
+        slip_syms = jnp.where(
+            in_deadband,
+            0,
+            jnp.floor((pos_end + 0.5 * sps) / sps),
+        ).astype(jnp.int32)
+        tau_next = pos_end - slip_syms.astype(jnp.float32) * sps
 
         consumed = n_out * sps + slip_syms * sps
         new_state = FFSyncState(
-            tau=pos, initialized=jnp.asarray(1, jnp.int32)
+            tau=tau_next, rate=rate, initialized=jnp.asarray(1, jnp.int32)
         )
         return new_state, syms, consumed.astype(jnp.int32)
 

@@ -205,6 +205,62 @@ def test_loopback_gold_code_matched():
     check_ts_subset(ts_in, ts_out, min_packets=20)
 
 
+def test_loopback_dropout_relock():
+    """Failure recovery (SURVEY.md §5): a mid-stream signal dropout must
+    trigger the unlock counter (3 consecutive weak timing metrics), and the
+    receiver must re-acquire on the second burst and keep decoding
+    (reference ``pl_frame_sync.cc:201-216`` unlock/re-search semantics)."""
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              sps=2, rolloff=0.2))
+    n_pkts = (8 * tx.df_bytes) // 188 + 2
+    ts_a = make_ts(n_pkts, seed=71)
+    ts_b = make_ts(n_pkts, seed=72)
+    iq_a = awgn_channel(tx.ts_to_iq(ts_a), 12.0, sps=2, seed=73)
+    tx2 = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                               sps=2, rolloff=0.2))
+    iq_b = awgn_channel(tx2.ts_to_iq(ts_b), 12.0, sps=2, seed=74)
+    # dropout: noise only, long enough for several missed frame periods
+    rng = np.random.default_rng(75)
+    gap_len = 10 * tx.cfg.pls_info.plframe_len * 2
+    gap = (0.2 * (rng.normal(size=gap_len) + 1j * rng.normal(size=gap_len))
+           / np.sqrt(2)).astype(np.complex64)
+    iq = np.concatenate([iq_a, gap, iq_b])
+
+    rx = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4))
+    ts_out = rx.receive(iq)
+    assert rx.stats.unlock_cnt >= 1, "dropout did not trigger unlock"
+    assert rx.stats.lock_cnt >= 2, "no re-acquisition after the dropout"
+    # packets from the second burst must be recovered bit-exact
+    out_pkts = ts_out.reshape(-1, 188)
+    in_b = ts_b.reshape(-1, 188)
+    hits_b = sum((in_b == p).all(axis=1).any() for p in out_pkts)
+    assert hits_b >= 10, f"only {hits_b} packets from the post-gap burst"
+
+
+def test_loopback_clock_offset():
+    """Symbol-clock offset (±50 ppm, a TCXO-grade bound): the timing
+    position drifts through many wraps over the capture; the feed-forward
+    sync must track it via fractional-tau unwrap + whole-symbol slips
+    without losing frame lock."""
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              sps=2, rolloff=0.2))
+    n_pkts = (30 * tx.df_bytes) // 188 + 2
+    ts_in = make_ts(n_pkts, seed=81)
+    iq = tx.ts_to_iq(ts_in)
+    # resample by 1 + 50e-6 (receiver sample clock slow by 50 ppm)
+    ppm = 50e-6
+    t_out = np.arange(int(iq.size / (1 + ppm))) * (1 + ppm)
+    base = np.arange(iq.size)
+    iq_r = (np.interp(t_out, base, iq.real)
+            + 1j * np.interp(t_out, base, iq.imag)).astype(np.complex64)
+    iq_r = awgn_channel(iq_r, 15.0, sps=2, seed=82)
+
+    rx = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4))
+    ts_out = rx.receive(iq_r)
+    n = check_ts_subset(ts_in, ts_out, min_packets=3 * n_pkts // 4)
+    assert rx.stats.unlock_cnt == 0, "clock drift broke frame lock"
+
+
 def test_loopback_min_operating_snr():
     """The reference's documented sensitivity bound: QPSK 1/4 with pilots
     operates down to 2 dB Es/N0, where PL synchronization (not FEC) is the
