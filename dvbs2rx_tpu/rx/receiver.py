@@ -721,8 +721,12 @@ class ACMReceiver(Receiver):
         if cfg.pls_list:
             self._pls_enabled[list(cfg.pls_list)] = True
         else:
-            self._pls_enabled[:] = True
-            self._pls_enabled[[0, 1, 2, 3]] = False  # dummy frames (modcod 0)
+            # all decodable PLS values: modcod 0 is the dummy frame and
+            # modcods 29-31 are reserved (reference pls_info_t::parse maps
+            # them to n_mod = 0); a noisy PLSC decode landing on a reserved
+            # value must count as rejected, not crash the resource lookup
+            for pls in range(128):
+                self._pls_enabled[pls] = (pls >> 2) in _MODCODS
         self._plsc_jit = jax.jit(self._plsc_impl)
         self._group_jits = {}
         self._pls_resources = {}

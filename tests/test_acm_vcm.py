@@ -89,3 +89,16 @@ def test_vcm_mixed_constellations():
     assert rx.stats.bch_frame_errors == 0
     consts = {r["constellation"] for r in rx._pls_resources.values()}
     assert {"QPSK", "8PSK"} <= consts
+
+
+def test_reserved_modcod_rejected():
+    """Reserved modcods (29-31, reference ``pls_info_t::parse`` n_mod=0)
+    must be excluded from the default PLS filter: a noisy PLSC decode
+    landing there counts as a rejected frame instead of crashing the
+    per-PLS resource lookup."""
+    rx = _acm_rx()
+    for modcod in (29, 30, 31):
+        for tail in range(4):
+            assert not rx._pls_enabled[(modcod << 2) | tail]
+    assert rx._pls_enabled[(4 << 2)]      # QPSK 1/2 stays enabled
+    assert not rx._pls_enabled[0]         # dummy frame
