@@ -119,16 +119,27 @@ class FeedForwardSync:
         # a subwindow is ample for the estimate (variance ~ 1/N) and halves
         # the front-end cost on large blocks
         samples = samples[: self.est_window]
-        n = samples.shape[0]
-        up = jnp.zeros((2 * n, 2), jnp.float32).at[::2].set(samples)
-        hb = jnp.asarray(self._hb)
-        x4_re = jnp.convolve(up[:, 0], hb, mode="same")
-        x4_im = jnp.convolve(up[:, 1], hb, mode="same")
-        sq4 = x4_re * x4_re + x4_im * x4_im
-        # correlate with e^{-j 2 pi k / 4}: cos/sin patterns of period 4
-        k = jnp.arange(sq4.shape[0])
-        re = jnp.sum(sq4 * jnp.asarray(np.array([1, 0, -1, 0], np.float32))[k % 4])
-        im = jnp.sum(sq4 * jnp.asarray(np.array([0, -1, 0, 1], np.float32))[k % 4])
+        # Polyphase decomposition of the half-band interpolator: odd taps
+        # vanish except the center (half-band property), so the even output
+        # branch is just the input scaled by the center tap, and the odd
+        # branch is one short convolution at the INPUT rate — no zero-stuff
+        # scatter, no 2x-rate convolution.
+        hb = self._hb
+        c = hb.shape[0] // 2
+        center = np.float32(hb[c])
+        hb_even = jnp.asarray(np.ascontiguousarray(hb[0::2]))   # 12 taps
+        x_re, x_im = samples[:, 0], samples[:, 1]
+        sq_even = (center * center) * (x_re * x_re + x_im * x_im)
+        o_re = jnp.convolve(x_re, hb_even, mode="same")
+        o_im = jnp.convolve(x_im, hb_even, mode="same")
+        sq_odd = o_re * o_re + o_im * o_im
+        # correlate |x4|^2 with e^{-j 2 pi n / 4}: the even branch lands on
+        # the +-1 (real) pattern, the odd branch on the -+j (imag) pattern.
+        # The 4/T-rate odd sample between x[k] and x[k+1] is o[k+1] (the
+        # "same"-mode conv of the even-tap polyphase lags by one input
+        # sample), hence the shifted parity slices below.
+        re = jnp.sum(sq_even[0::2]) - jnp.sum(sq_even[1::2])
+        im = jnp.sum(sq_odd[2::2]) - jnp.sum(sq_odd[1::2])
         # tau in symbol fractions: -angle/(2 pi); in input samples: * sps
         tau_sym = -jnp.arctan2(im, re) / (2 * jnp.pi)
         return (tau_sym * self.sps) % self.sps

@@ -237,6 +237,26 @@ def test_loopback_dropout_relock():
     assert hits_b >= 10, f"only {hits_b} packets from the post-gap burst"
 
 
+def test_loopback_large_cfo():
+    """Large carrier offset (5% of the symbol rate, ~250x the fine range):
+    acquisition must succeed on the differential (CFO-tolerant) timing
+    metric alone, then the coarse estimator pulls the offset in over a few
+    periods before the pilot-aided fine loop converges. Mirrors the
+    reference's coarse->fine handoff (``plsync_cc_impl.cc:605-637``)."""
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              pilots=True, sps=2, rolloff=0.2))
+    n_pkts = (40 * tx.df_bytes) // 188 + 2
+    ts_in, ts_out, rx = run_loopback(
+        modcod="qpsk1/2", pilots=True, esn0_db=10.0,
+        freq_offset=0.025, seed=91, n_pkts=n_pkts,
+        rx_kwargs=dict(coarse_period=8),
+    )
+    check_ts_subset(ts_in, ts_out, min_packets=n_pkts // 2)
+    assert rx.stats.coarse_corrected
+    # cumulative rotator correction = CFO in symbol-rate units (sps=2)
+    assert abs(rx.stats.cum_freq_offset - 0.05) < 5e-4
+
+
 def test_loopback_clock_offset():
     """Symbol-clock offset (±50 ppm, a TCXO-grade bound): the timing
     position drifts through many wraps over the capture; the feed-forward
