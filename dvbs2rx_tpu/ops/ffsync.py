@@ -194,24 +194,59 @@ class FeedForwardSync:
         bank = jnp.asarray(self._bank)
         taps_seg = bank[idx_seg]                              # (S, L)
 
-        starts = base_seg + 2 + jnp.arange(S, dtype=jnp.int32) * seg_len * sps
-        starts = jnp.clip(starts, 0, n_samp - seg_len * sps - L)
         if S == 1:
-            syms = mf_decimate(samples, taps_seg[0], starts[0], sps, n_out,
+            start = jnp.clip(base_seg[0] + 2, 0, n_samp - n_out * sps - L)
+            syms = mf_decimate(samples, taps_seg[0], start, sps, n_out,
                                use_pallas=self.use_pallas)
         else:
-            wins = jax.vmap(
-                lambda st: jax.lax.dynamic_slice_in_dim(
-                    samples, st, seg_len * sps + L, axis=0
-                )
-            )(starts)                                         # (S, len, 2)
-            acc = jnp.zeros((S, seg_len, 2), jnp.float32)
-            for l in range(L):
-                seg = jax.lax.slice_in_dim(
-                    wins, l, l + seg_len * sps, axis=1
-                ).reshape(S, seg_len, sps, 2)[:, :, 0]
-                acc = acc + seg * taps_seg[:, l][:, None, None]
-            syms = acc.reshape(n_out, 2)
+            # One depthwise grouped convolution instead of S separate
+            # extractions: all segments share a common window grid anchored
+            # at the minimum integer offset, and each segment's whole-sample
+            # offset is folded into its taps (shifted within a K = L + OFF
+            # extended kernel). XLA lowers this to a single conv that tiles
+            # through VMEM once — the naive per-segment slice/multiply
+            # formulation was HBM-bound.
+            OFF = 12
+            base_min = jnp.minimum(base_seg[0], base_seg[-1])
+            off_seg = jnp.clip(base_seg - base_min, 0, OFF)   # (S,)
+            K = L + OFF
+            col = (jnp.arange(K, dtype=jnp.int32)[None, :]
+                   - off_seg[:, None])                        # (S, K)
+            valid = (col >= 0) & (col < L)
+            taps_ext = jnp.where(
+                valid,
+                jnp.take_along_axis(
+                    taps_seg, jnp.clip(col, 0, L - 1), axis=1
+                ),
+                0.0,
+            )                                                 # (S, K)
+            w_seg = (seg_len - 1) * sps + K
+            start0 = jnp.clip(
+                base_min + 2, 0, n_samp - ((S - 1) * seg_len * sps + w_seg)
+            )
+            x_blk = jax.lax.dynamic_slice_in_dim(
+                samples, start0, (n_out - 1) * sps + K, axis=0
+            )                                                 # (len, 2)
+            wins = jnp.stack(
+                [
+                    jax.lax.slice_in_dim(
+                        x_blk, s * seg_len * sps,
+                        s * seg_len * sps + w_seg, axis=0
+                    )
+                    for s in range(S)
+                ],
+                axis=0,
+            )                                                 # (S, w_seg, 2)
+            lhs = wins.transpose(2, 0, 1)                     # (2, S, w_seg)
+            rhs = taps_ext[:, None, :]                        # (S, 1, K)
+            out = jax.lax.conv_general_dilated(
+                lhs, rhs,
+                window_strides=(sps,),
+                padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=S,
+            )                                                 # (2, S, seg_len)
+            syms = out.transpose(1, 2, 0).reshape(n_out, 2)
 
         # ---- carry + slips ----
         # Position at the start of the next block (before renormalization)

@@ -231,11 +231,32 @@ def coarse_autocorr(plheader, plsc, full=True):
     p = mod_removed_plheader(plheader, plsc)
     N = PLHEADER_LEN if full else SOF_LEN
     p = p[..., :N, :]
-    lags = []
-    for m in range(1, N):
-        prod = cplx.conj_mul(p[..., : N - m, :], p[..., m:, :])
-        lags.append(jnp.sum(prod, axis=-2))
-    return jnp.stack(lags, axis=-2)
+    # r[m] = sum_n p[n+m] conj(p[n]) for all lags in ONE pass: a grouped
+    # autocorrelation conv (each batch row correlates with its own data)
+    # instead of N-1 separately-shaped lag reductions, which are
+    # dispatch-overhead-bound on TPU.
+    batch_shape = p.shape[:-2]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    x = p.reshape(B, N, 2).transpose(0, 2, 1)            # (B, 2, N)
+    re_rhs = x                                           # (x, y)
+    im_rhs = jnp.stack([-x[:, 1], x[:, 0]], axis=1)      # (-y, x)
+
+    def corr(rhs):
+        # out[b, m] = sum_rail sum_k x[b, rail, m+k] * rhs[b, rail, k]
+        out = jax.lax.conv_general_dilated(
+            x.reshape(1, B * 2, N),
+            rhs.reshape(B * 2, 1, N),
+            window_strides=(1,),
+            padding=((N - 1, N - 1),),
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=B * 2,
+        ).reshape(B, 2, 2 * N - 1)
+        # rail pairs sum within each batch row; correlation at positive lags
+        # sits in the upper half of the full correlation
+        return (out[:, 0] + out[:, 1])[:, N:]            # (B, N-1), lags 1..
+
+    r = jnp.stack([corr(re_rhs), corr(im_rhs)], axis=-1)  # (B, N-1, 2)
+    return r.reshape(*batch_shape, N - 1, 2)
 
 
 def coarse_foffset_from_autocorr(r):

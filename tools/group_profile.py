@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Substage timing of the frame-group + FEC device step (chain method)."""
+import time
+import numpy as np
+
+
+def main():
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from dvbs2rx_tpu.rx.receiver import Receiver, RxConfig
+    from dvbs2rx_tpu.parallel.batch import BatchedPipeline
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    C, F = 64, 2
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", fec_batch=C * F)
+    L = cfg.pls_info.plframe_len
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
+    rng = np.random.default_rng(0)
+    n_pkts = ((F + 2) * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    syms = tx.modulate_ts(pkts.reshape(-1))[: (F + 1) * L + 91]
+    n0 = 10 ** (-6.0 / 10)
+    noisy = syms + (rng.normal(0, np.sqrt(n0 / 2), (syms.size, 2)).astype(np.float32)
+                    @ np.array([1, 1j], np.complex64))
+    symbols = np.stack([noisy.astype(np.complex64)] * C)
+
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    _ = float(np.asarray(jnp.sum(jnp.ones(8))))
+
+    pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
+    rx = pipe._rx
+    h, p = pipe.frame_inputs_from_symbols(symbols)
+    h = jax.device_put(jnp.asarray(h)); p = jax.device_put(jnp.asarray(p))
+    flag = jnp.asarray(True)
+    K = 9
+
+    def chain(f1, fM, *args, label=""):
+        jax.block_until_ready(f1(*args)); jax.block_until_ready(fM(*args))
+        def t(f):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(f(*args))
+            return (time.perf_counter() - t0) / 3
+        dt = max((t(fM) - t(f1)) / (K - 1), 1e-9)
+        print(f"{label}: {dt*1e3:.3f} ms")
+        return dt
+
+    # --- group stage only
+    def g_one(h, p, flag):
+        out = jax.vmap(lambda hh, pp: rx._frame_group_impl(hh, pp, flag, n_frames=F))(h, p)
+        return out["llrs"]
+
+    def g_many(h, p, flag):
+        llrs = g_one(h, p, flag)
+        for _ in range(K - 1):
+            eps = (jnp.sum(llrs[0, 0, :2].astype(jnp.float32)) % 2) * 1e-12
+            llrs = g_one(h + eps, p + eps, flag)
+        return llrs
+
+    t_g = chain(jax.jit(g_one), jax.jit(g_many), h, p, flag, label="frame group")
+
+    # --- FEC stage only
+    llrs0 = jax.jit(g_one)(h, p, flag).reshape(-1, cfg.fec.nldpc)
+    llrs0 = jax.device_put(jnp.asarray(np.asarray(llrs0)))
+
+    def f_one(l):
+        return rx._fec_stage_impl(l)[0]
+
+    def f_many(l):
+        kb = f_one(l)
+        for _ in range(K - 1):
+            eps = (kb[0, 0] % 2).astype(jnp.int8)
+            l = (l + eps[None, None]).astype(jnp.int8)
+            kb = f_one(l)
+        return kb
+
+    t_f = chain(jax.jit(f_one), jax.jit(f_many), llrs0, label="fec stage")
+    spg = C * F * L * 2
+    print(f"group msps {spg/t_g/1e6:.0f}  fec msps {spg/t_f/1e6:.0f}")
+
+
+if __name__ == "__main__":
+    main()
