@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Substage timing of the frame-group + FEC device step (chain method)."""
+import os
+import sys
 import time
+
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -82,5 +87,83 @@ def main():
     print(f"group msps {spg/t_g/1e6:.0f}  fec msps {spg/t_f/1e6:.0f}")
 
 
+def fec_breakdown():
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from dvbs2rx_tpu.rx.receiver import Receiver, RxConfig
+
+    C, F = 64, 2
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", fec_batch=C * F)
+    rx = Receiver(cfg)
+    rng = np.random.default_rng(1)
+    # synthetic converged-ish LLRs: strong correct-sign LLRs from a valid
+    # codeword would need a full encode; instead use the real chain's LLRs
+    # replaced by +-24 hard values decoded in 1-2 iterations
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
+    n_pkts = (3 * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    # the all-zeros codeword is valid (linear code): strong correct LLRs
+    # with a sprinkle of sign flips so the decoder needs ~2 iterations,
+    # matching the bench operating point
+    llr = np.full((1, cfg.fec.nldpc), 20, np.int8)
+    flip = rng.random((C * F, cfg.fec.nldpc)) < 0.01
+    llrs = jnp.asarray(np.where(flip, np.int8(-6), llr))
+
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    _ = float(np.asarray(jnp.sum(jnp.ones(8))))
+    K = 9
+
+    def chain(f1, fM, *args, label=""):
+        jax.block_until_ready(f1(*args)); jax.block_until_ready(fM(*args))
+        def t(f):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(f(*args))
+            return (time.perf_counter() - t0) / 3
+        dt = max((t(fM) - t(f1)) / (K - 1), 1e-9)
+        print(f"{label}: {dt*1e3:.3f} ms")
+        return dt
+
+    # LDPC alone
+    def l_one(l):
+        return rx.ldpc._decode_impl(l)[0]
+
+    def l_many(l):
+        h = l_one(l)
+        for _ in range(K - 1):
+            eps = (h[0, 0] % 2).astype(jnp.int8)
+            l = (l + eps[None, None]).astype(jnp.int8)
+            h = l_one(l)
+        return h
+
+    t_l = chain(jax.jit(l_one), jax.jit(l_many), llrs, label="ldpc")
+    iters = int(rx.ldpc._decode_impl(llrs)[2])
+    print("ldpc iters:", iters)
+
+    # BCH alone
+    hard = jax.jit(l_one)(llrs)[:, : cfg.fec.nbch].astype(jnp.uint8)
+    hard = jax.device_put(jnp.asarray(np.asarray(hard)))
+
+    def b_one(b):
+        return rx.bch._decode_impl(b)[0]
+
+    # fully-dependent chain: feed corrected bits back in
+    def b_many2(b):
+        c = b_one(b)
+        for _ in range(K - 1):
+            c = b_one(c.astype(jnp.uint8))
+        return c
+
+    t_b = chain(jax.jit(b_one), jax.jit(b_many2), hard, label="bch (clean)")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--fec" in _s.argv:
+        fec_breakdown()
+    else:
+        main()
