@@ -39,11 +39,15 @@ class TxConfig:
     frame_size: str = "normal"       # "normal" | "short"
     pilots: bool = False
     rolloff: float = 0.2
-    sps: int = 2                     # samples per symbol (integer)
+    sps: float = 2                   # samples per symbol (fractional allowed)
     gold_code: int = 0
     rrc_delay: int = 25              # RRC span in symbols (each side)
 
     def __post_init__(self):
+        if float(self.sps).is_integer():
+            self.sps = int(self.sps)  # integer fast path (plain FIR)
+        elif self.sps <= 1.0:
+            raise ValueError("sps must exceed 1 sample/symbol")
         key = self.modcod.lower()
         if key not in MODCOD_NUMBERS:
             raise ValueError(f"Unknown MODCOD {self.modcod!r}")
@@ -73,7 +77,9 @@ class Transmitter:
         self._last_crc = 0
         self._stream_offset = 0  # UP-stream phase (bytes mod 188) at next datafield
         # Streaming pulse-shape state: last ntaps-1 upsampled input samples
+        # (integer sps) or a persistent arbitrary resampler (fractional sps)
         self._ps_tail = None
+        self._ps_rs = None
 
     # ---------------- BB framing ----------------
 
@@ -189,13 +195,30 @@ class Transmitter:
         )
 
     def pulse_shape(self, symbols: np.ndarray) -> np.ndarray:
-        """Upsample by sps and apply the RRC transmit filter."""
+        """Upsample by sps and apply the RRC transmit filter.
+
+        Fractional sps uses the polyphase arbitrary resampler with exact
+        continuous RRC taps (reference: ``apps/dvbs2-tx:638-686`` uses
+        ``pfb_arb_resampler_ccf`` for non-integer interpolation ratios).
+        """
         sps = self.cfg.sps
+        if not isinstance(sps, int):
+            rs = self._make_arb_shaper()
+            return np.concatenate([rs(symbols), rs.flush()])
         ntaps = 2 * sps * self.cfg.rrc_delay + 1
         taps = root_raised_cosine(sps, sps, 1.0, self.cfg.rolloff, ntaps)
         up = np.zeros(symbols.size * sps, dtype=np.complex64)
         up[::sps] = symbols
         return np.convolve(up, taps).astype(np.complex64)
+
+    def _make_arb_shaper(self):
+        from ..ops.resample import StreamResampler, rrc_kernel
+
+        return StreamResampler(
+            self.cfg.sps,
+            kernel=rrc_kernel(self.cfg.rolloff, self.cfg.rrc_delay),
+            delay=self.cfg.rrc_delay,
+        )
 
     def _rrc_taps(self) -> np.ndarray:
         sps = self.cfg.sps
@@ -209,6 +232,10 @@ class Transmitter:
         equals the one-shot ``pulse_shape`` of the concatenated symbols."""
         if symbols.size == 0:
             return np.empty(0, dtype=np.complex64)
+        if not isinstance(self.cfg.sps, int):
+            if self._ps_rs is None:
+                self._ps_rs = self._make_arb_shaper()
+            return self._ps_rs(symbols)
         taps = self._rrc_taps()
         if self._ps_tail is None:
             self._ps_tail = np.zeros(taps.size - 1, dtype=np.complex64)
@@ -221,6 +248,12 @@ class Transmitter:
 
     def pulse_shape_flush(self) -> np.ndarray:
         """Drain the streaming pulse-shape filter tail."""
+        if not isinstance(self.cfg.sps, int):
+            if self._ps_rs is None:
+                return np.empty(0, dtype=np.complex64)
+            out = self._ps_rs.flush()
+            self._ps_rs = None
+            return out
         taps = self._rrc_taps()
         if self._ps_tail is None:
             return np.empty(0, dtype=np.complex64)

@@ -76,3 +76,32 @@ def test_cli_stdin_stdout_pipe(tmp_path):
     n = out.size // 188
     assert n >= 60
     np.testing.assert_array_equal(out[: n * 188].reshape(n, 188), pkts[:n])
+
+
+@pytest.mark.slow
+def test_cli_fractional_samp_rate(tmp_path):
+    """Tx and Rx at samp-rate/sym-rate = 2.5: the Tx arbitrary resampler and
+    the Rx rational pre-resampler in one pipe (reference fractional-ratio
+    paths: apps/dvbs2-tx:638-686, apps/dvbs2-rx:887-916)."""
+    ts_in = tmp_path / "in.ts"
+    iq = tmp_path / "iq.fc32"
+    ts_out = tmp_path / "out.ts"
+    pkts = _make_ts(ts_in, 80, seed=13)
+    _run("dvbs2-tx", "--in-file", str(ts_in), "--out-file", str(iq),
+         "--modcod", "qpsk1/2", "--frame-size", "short", "--snr", "15",
+         "--samp-rate", "2.5M", "--sym-rate", "1M")
+    _run("dvbs2-rx", "--in-file", str(iq), "--out-file", str(ts_out),
+         "--modcod", "qpsk1/2", "--frame-size", "short",
+         "--samp-rate", "2.5M", "--sym-rate", "1M")
+    out = np.fromfile(ts_out, np.uint8)
+    assert out.size % 188 == 0 and out.size >= 50 * 188
+    # strip any leading TEI-marked packets (pre-lock convergence)
+    while out.size and (out[1] & 0x80):
+        out = out[188:]
+    n = out.size // 188
+    flat = pkts.reshape(-1)
+    first = out[:188]
+    starts = np.where((pkts == first).all(axis=1))[0]
+    assert starts.size == 1
+    ref = flat[starts[0] * 188: starts[0] * 188 + n * 188]
+    np.testing.assert_array_equal(out[: ref.size], ref)
