@@ -54,7 +54,21 @@ class LDPCDecoder:
     (batch, N), final LLRs int8, iterations_used int32, converged (batch,)).
     """
 
-    def __init__(self, code: LDPCCode, max_trials: int = 25):
+    def __init__(self, code: LDPCCode, max_trials: int = 25,
+                 algo: str = "offset-min-sum", update: str = "normal"):
+        """``algo``: check-node rule — "offset-min-sum" (production default,
+        beta=1), "min-sum" (beta=0), or "min-sum-c" (two-input min with the
+        additive correction factor, ``algorithms.hh`` MinSumCAlgorithm with
+        FACTOR=2). ``update``: message store rule — "normal" or
+        "self-corrected" (message zeroed on sign flip, ``generic.hh:25``
+        SelfCorrectedUpdate)."""
+        if algo not in ("offset-min-sum", "min-sum", "min-sum-c"):
+            raise ValueError(f"unknown LDPC algorithm {algo!r}")
+        if update not in ("normal", "self-corrected"):
+            raise ValueError(f"unknown LDPC update rule {update!r}")
+        self.algo = algo
+        self.update_rule = update
+        self.beta = BETA if algo == "offset-min-sum" else 0
         self.code = code
         self.max_trials = max_trials
         lay = code.layers
@@ -96,6 +110,43 @@ class LDPCDecoder:
         m[0, 0] = False
         return m
 
+    @staticmethod
+    def _minc(a, b, factor=2):
+        """Two-input min with the additive correction factor
+        (``algorithms.hh`` MinSumCAlgorithm::minc, FACTOR=2): an int
+        approximation of the boxplus correction term. Non-associative; the
+        exclusive combine order below matches the reference's
+        ``exclusive_reduce`` exactly."""
+        m = jnp.minimum(jnp.abs(a), jnp.abs(b))
+        # vsign(vsign(m, a), b): magnitude with the product sign, 0 if a or b is 0
+        x = jnp.sign(a) * jnp.sign(b) * m
+        apb = jnp.abs(a + b)
+        amb = jnp.abs(a - b)
+        half = factor // 2
+        pc = (2 * factor > apb) & (amb > 2 * apb)
+        nc = (2 * factor > amb) & (apb > 2 * amb)
+        return x + jnp.where(pc, half, 0) - jnp.where(nc, half, 0)
+
+    def _minc_exclusive(self, inp):
+        """Exclusive minc-reduce over the edge axis with the reference's
+        prefix/suffix order (``exclusive_reduce.hh:20-34``): prefixes combine
+        left-associatively from the head, suffixes from the tail, and
+        out[i] = op(prefix, suffix)."""
+        E = inp.shape[0]
+        outs = [None] * E
+        pres = [None] * E
+        pre = inp[0]
+        for i in range(1, E - 1):
+            pres[i] = pre
+            pre = self._minc(pre, inp[i])
+        outs[E - 1] = pre
+        suf = inp[E - 1]
+        for i in range(E - 2, 0, -1):
+            outs[i] = self._minc(pres[i], suf)
+            suf = self._minc(suf, inp[i])
+        outs[0] = suf
+        return jnp.stack(outs)
+
     def _update_layer(self, i, v, p, msgs):
         E = len(self._edges[i]) + 2
         vals = jnp.stack(self._layer_vals(i, v, p))            # (E, 360, B)
@@ -109,22 +160,30 @@ class LDPCDecoder:
                 jnp.where(jnp.asarray(pm), inp[E - 1], 127)
             )
 
-        mags = jnp.maximum(jnp.minimum(jnp.abs(inp), 127) - BETA, 0)
-        min0 = jnp.min(mags, axis=0)
-        is_min = mags == min0[None]
-        first_min = jnp.argmax(is_min, axis=0)
-        mags_wo = jnp.where(
-            jnp.arange(E)[:, None, None] == first_min[None], 127, mags
-        )
-        min1 = jnp.min(mags_wo, axis=0)
-        excl_min = jnp.where(is_min, min1[None], min0[None])
+        if self.algo == "min-sum-c":
+            out = self._minc_exclusive(inp)                    # int16
+        else:
+            mags = jnp.maximum(jnp.minimum(jnp.abs(inp), 127) - self.beta, 0)
+            min0 = jnp.min(mags, axis=0)
+            is_min = mags == min0[None]
+            first_min = jnp.argmax(is_min, axis=0)
+            mags_wo = jnp.where(
+                jnp.arange(E)[:, None, None] == first_min[None], 127, mags
+            )
+            min1 = jnp.min(mags_wo, axis=0)
+            excl_min = jnp.where(is_min, min1[None], min0[None])
 
-        neg = inp < 0
-        total_sign = jnp.sum(neg, axis=0) & 1
-        excl_sign = (total_sign[None] ^ neg) & 1
-        out = jnp.where(excl_sign == 1, -excl_min, excl_min)   # int16
+            neg = inp < 0
+            total_sign = jnp.sum(neg, axis=0) & 1
+            excl_sign = (total_sign[None] ^ neg) & 1
+            out = jnp.where(excl_sign == 1, -excl_min, excl_min)  # int16
 
         new_msgs = jnp.clip(out, MSG_CLAMP_LO, MSG_CLAMP_HI).astype(_I8)
+        if self.update_rule == "self-corrected":
+            # SelfCorrectedUpdate: keep the new message only if the previous
+            # one was zero or has the same sign; else store zero.
+            keep = (old == 0) | ((old < 0) == (new_msgs < 0))
+            new_msgs = jnp.where(keep, new_msgs, jnp.int8(0))
         # new value = sat(inp + out) with the unclamped check output; written
         # back as deltas so multiple edges into one block compose
         target = jnp.clip(inp + out, -128, 127)
@@ -218,7 +277,9 @@ class LDPCDecoder:
 
 
 @functools.lru_cache(maxsize=16)
-def get_decoder(table_name: str, max_trials: int = 25) -> LDPCDecoder:
+def get_decoder(table_name: str, max_trials: int = 25,
+                algo: str = "offset-min-sum",
+                update: str = "normal") -> LDPCDecoder:
     from ..spec.ldpc_tables import get_code
 
-    return LDPCDecoder(get_code(table_name), max_trials)
+    return LDPCDecoder(get_code(table_name), max_trials, algo, update)

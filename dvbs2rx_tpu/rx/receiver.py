@@ -48,16 +48,19 @@ from ..spec.ldpc_tables import get_code
 from ..ops.ldpc import get_decoder as _get_ldpc_decoder
 
 
-def _make_ldpc_decoder(table: str, max_trials: int, impl: str = "auto"):
+def _make_ldpc_decoder(table: str, max_trials: int, impl: str = "auto",
+                       algo: str = "offset-min-sum", update: str = "normal"):
     """LDPC decoder factory: the hand-written Pallas kernel on TPU hardware
-    (``ops/ldpc_pallas.py``), the XLA roll-based path elsewhere."""
+    (``ops/ldpc_pallas.py``), the XLA roll-based path elsewhere. Non-default
+    check-node algorithms / update rules (reference ``algorithms.hh``
+    variants) run on the XLA path, which implements all of them."""
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if impl == "pallas":
+    if impl == "pallas" and (algo, update) == ("offset-min-sum", "normal"):
         from ..ops.ldpc_pallas import get_pallas_decoder
 
         return get_pallas_decoder(table, max_trials)
-    return _get_ldpc_decoder(table, max_trials)
+    return _get_ldpc_decoder(table, max_trials, algo, update)
 from ..ops.bch import get_bch_decoder as _get_bch_decoder
 from ..spec.fec_params import DVBS2_MODCODS as _MODCODS
 
@@ -82,6 +85,9 @@ class RxConfig:
     ldpc_impl: str = "auto"       # "pallas" (hand-written TPU kernel),
                                   # "xla" (roll-based XLA path), or "auto"
                                   # (pallas on TPU hardware, xla elsewhere)
+    ldpc_algo: str = "offset-min-sum"  # | "min-sum" | "min-sum-c"
+    ldpc_update: str = "normal"   # | "self-corrected" (reference
+                                  # SelfCorrectedUpdate, generic.hh:25)
     fec_batch: int = 8            # frames decoded together (SIMD-lane analog)
     frame_group: int = 4          # frames processed per device step
     frontend_block: int = 4096    # symbols produced per front-end step
@@ -182,7 +188,8 @@ class Receiver:
         else:
             raise ValueError(f"Unknown sym_sync_impl {cfg.sym_sync_impl!r}")
         self.ldpc = _make_ldpc_decoder(
-            cfg.fec.ldpc_table, cfg.ldpc_max_trials, cfg.ldpc_impl
+            cfg.fec.ldpc_table, cfg.ldpc_max_trials, cfg.ldpc_impl,
+            cfg.ldpc_algo, cfg.ldpc_update,
         )
         self.bch = BCHDecoder(
             cfg.fec.framesize, cfg.fec.t, cfg.fec.nbch, cfg.fec.kbch
@@ -750,7 +757,8 @@ class ACMReceiver(Receiver):
                 "rate": rate,
                 "ldpc": _make_ldpc_decoder(
                     fec.ldpc_table, self.cfg.ldpc_max_trials,
-                    self.cfg.ldpc_impl,
+                    self.cfg.ldpc_impl, self.cfg.ldpc_algo,
+                    self.cfg.ldpc_update,
                 ),
                 "bch": _get_bch_decoder(framesize, fec.t, fec.nbch, fec.kbch),
                 "bb_scramble": bb_derandomizer_bytes(fec.kbch // 8),

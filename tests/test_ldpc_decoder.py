@@ -97,3 +97,40 @@ def test_other_code_tables(table, esn0_db):
     hard, _, iters, ok = dec(llrs)
     assert np.all(np.asarray(ok))
     assert np.array_equal(np.asarray(hard), cw)
+
+
+@pytest.mark.parametrize("algo,update", [
+    ("min-sum", "normal"),
+    ("min-sum-c", "normal"),
+    ("offset-min-sum", "self-corrected"),
+    ("min-sum", "self-corrected"),
+])
+def test_algorithm_variants_correct_noise(code, algo, update):
+    """The alternative check-node rules / update rules from the reference's
+    ``algorithms.hh`` (MinSum, MinSumC, SelfCorrectedUpdate) all close the
+    same operating point as the production offset-min-sum."""
+    rng = np.random.default_rng(4)
+    B = 4
+    info = rng.integers(0, 2, (B, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    esn0 = 10 ** (1.2 / 10)
+    n0 = 1 / esn0
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    y = x + rng.normal(0, np.sqrt(n0 / 2), x.shape).astype(np.float32)
+    llrs = np.clip(np.rint(y * (4 / n0)), -128, 127).astype(np.int8)
+    assert np.mean((llrs < 0) != cw) > 0.01
+    dec = LDPCDecoder(code, max_trials=30, algo=algo, update=update)
+    hard, _, iters, ok = dec(llrs)
+    assert np.all(np.asarray(ok)), f"{algo}/{update}: not converged ({iters})"
+    assert np.array_equal(np.asarray(hard), cw)
+
+
+def test_min_sum_variants_noiseless(code):
+    rng = np.random.default_rng(5)
+    info = rng.integers(0, 2, (2, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    for algo in ("min-sum", "min-sum-c"):
+        dec = LDPCDecoder(code, max_trials=5, algo=algo)
+        hard, _, iters, ok = dec(_llrs_from_bits(cw))
+        assert int(iters) == 0 and np.all(np.asarray(ok))
+        assert np.array_equal(np.asarray(hard), cw)
