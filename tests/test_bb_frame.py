@@ -1,0 +1,195 @@
+"""BB deframer robustness tests (reference: python/dvbs2rx/qa_bbdeheader_bb.py).
+
+Covers the corruption/resync semantics of ``bbdeheader_bb_impl.cc:76-261``:
+header CRC-8 validation, DFL/SYNCD/UPL sanity checks, SYNCD-based
+resynchronization after drops and gaps, partial-packet carry across BBFRAMEs,
+TEI marking on user-packet CRC failure, and the drop/gap/error counters.
+"""
+
+import numpy as np
+import pytest
+
+from dvbs2rx_tpu.spec import pl_defs
+from dvbs2rx_tpu.spec.bb_frame import BBFrameParser
+from dvbs2rx_tpu.spec.scramblers import crc8
+from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+
+def make_stream(n_pkts=40, seed=3, modcod="qpsk1/2", frame_size="short"):
+    """Deterministic TS packets -> descrambled BBFRAMEs (+ the input)."""
+    tx = Transmitter(TxConfig(modcod=modcod, frame_size=frame_size))
+    rng = np.random.default_rng(seed)
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = pl_defs.TS_SYNC_BYTE
+    pkts[:, 1] &= 0x7F  # keep TEI clear so exactness checks are simple
+    frames = tx.bbframes(pkts.reshape(-1)) ^ tx.bb_scramble  # descrambled
+    return pkts, frames, tx
+
+
+def run_parser(frames, kbch, native: bool, monkeypatch):
+    if not native:
+        from dvbs2rx_tpu.io import native as native_mod
+
+        monkeypatch.setattr(native_mod, "available", lambda: False)
+    p = BBFrameParser(kbch)
+    out = [p.push(f) for f in frames]
+    ts = np.concatenate(out) if out else np.empty(0, np.uint8)
+    return p, ts.reshape(-1, pl_defs.TS_PACKET_LENGTH)
+
+
+def assert_contiguous_run(pkts_in, pkts_out):
+    """Output must be a contiguous bit-exact run of the input packets."""
+    assert pkts_out.shape[0] > 0
+    clean = pkts_out[(pkts_out[:, 1] & pl_defs.TRANSPORT_ERROR_INDICATOR) == 0]
+    first = clean[0]
+    idx = [i for i, q in enumerate(pkts_in) if np.array_equal(q, first)]
+    assert idx, "first output packet not present in input"
+    return idx[0]
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_clean_stream(native, monkeypatch):
+    from dvbs2rx_tpu.io import native as native_mod
+
+    if native and not native_mod.available():
+        pytest.skip("native extension unavailable")
+    pkts, frames, tx = make_stream()
+    p, out = run_parser(frames, tx.cfg.fec.kbch, native, monkeypatch)
+    i = assert_contiguous_run(pkts, out)
+    assert i == 0
+    n = out.shape[0]
+    assert np.array_equal(out, pkts[:n])
+    assert p.stats.error_cnt == 0
+    assert p.stats.bbframe_drop_cnt == 0
+    assert p.stats.bbframe_gap_cnt == 0
+    assert p.stats.packet_cnt == n
+    assert p.stats.bbframe_cnt == frames.shape[0]
+    # frames don't align with 188-byte UPs -> a partial must be carried
+    assert p.partial.size > 0 or (tx.df_bytes % 188 == 0)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_header_crc_corruption_drops_frame(native, monkeypatch):
+    from dvbs2rx_tpu.io import native as native_mod
+
+    if native and not native_mod.available():
+        pytest.skip("native extension unavailable")
+    pkts, frames, tx = make_stream()
+    frames = frames.copy()
+    frames[2, 5] ^= 0xFF  # corrupt DFL byte without fixing CRC-8
+    p, out = run_parser(frames, tx.cfg.fec.kbch, native, monkeypatch)
+    assert p.stats.bbframe_drop_cnt == 1
+    # parser must resync via SYNCD of frame 3 and keep emitting exact packets
+    clean = out[(out[:, 1] & pl_defs.TRANSPORT_ERROR_INDICATOR) == 0]
+    starts = [i for i, q in enumerate(pkts) if np.array_equal(q, clean[0])]
+    assert starts == [0]
+    # every clean output packet appears in the input, in order
+    j = 0
+    for q in clean:
+        while j < len(pkts) and not np.array_equal(pkts[j], q):
+            j += 1
+        assert j < len(pkts), "clean output packet not an input packet"
+        j += 1
+
+
+def _rewrite_header(frame, **fields):
+    """Patch BBHEADER fields and fix the CRC-8 so only the field is bad."""
+    f = frame.copy()
+    hdr = f[:10].copy()
+    if "dfl" in fields:
+        hdr[4], hdr[5] = fields["dfl"] >> 8, fields["dfl"] & 0xFF
+    if "syncd" in fields:
+        hdr[7], hdr[8] = fields["syncd"] >> 8, fields["syncd"] & 0xFF
+    if "upl" in fields:
+        hdr[2], hdr[3] = fields["upl"] >> 8, fields["upl"] & 0xFF
+    hdr[9] = crc8(hdr[:9])
+    f[:10] = hdr
+    return f
+
+
+@pytest.mark.parametrize(
+    "field",
+    [
+        {"dfl": 0xFFF8},          # DFL > max_dfl
+        {"dfl": 101},             # DFL not a multiple of 8
+        {"syncd": 0xFFF8},        # SYNCD > DFL
+        {"upl": 100 * 8},         # UPL != 188 bytes
+    ],
+)
+def test_invalid_header_fields_drop_frame(field, monkeypatch):
+    pkts, frames, tx = make_stream()
+    frames = frames.copy()
+    frames[1] = _rewrite_header(frames[1], **field)
+    p, out = run_parser(frames, tx.cfg.fec.kbch, False, monkeypatch)
+    assert p.stats.bbframe_drop_cnt == 1
+    assert_contiguous_run(pkts, out)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_payload_corruption_sets_tei(native, monkeypatch):
+    from dvbs2rx_tpu.io import native as native_mod
+
+    if native and not native_mod.available():
+        pytest.skip("native extension unavailable")
+    pkts, frames, tx = make_stream()
+    frames = frames.copy()
+    frames[1, 60] ^= 0x55  # mid-datafield byte: exactly one UP corrupted
+    p, out = run_parser(frames, tx.cfg.fec.kbch, native, monkeypatch)
+    tei = (out[:, 1] & pl_defs.TRANSPORT_ERROR_INDICATOR) != 0
+    assert p.stats.error_cnt == 1
+    assert tei.sum() == 1
+    assert p.stats.bbframe_drop_cnt == 0
+    # all other packets are exact
+    n = out.shape[0]
+    mism = np.any(out != pkts[:n], axis=1)
+    assert mism.sum() == 1 and tei[np.where(mism)[0][0]]
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_gap_resync(native, monkeypatch):
+    from dvbs2rx_tpu.io import native as native_mod
+
+    if native and not native_mod.available():
+        pytest.skip("native extension unavailable")
+    pkts, frames, tx = make_stream(n_pkts=60)
+    kept = np.concatenate([frames[:2], frames[3:]])  # drop frame 2 entirely
+    p, out = run_parser(kept, tx.cfg.fec.kbch, native, monkeypatch)
+    assert p.stats.bbframe_gap_cnt == 1
+    # pre-gap packets are the head of the input, post-gap packets resume
+    # exactly at the first complete UP of frame 3 — everything bit-exact
+    clean = out[(out[:, 1] & pl_defs.TRANSPORT_ERROR_INDICATOR) == 0]
+    j = 0
+    matched = 0
+    for q in clean:
+        while j < len(pkts) and not np.array_equal(pkts[j], q):
+            j += 1
+        assert j < len(pkts)
+        j += 1
+        matched += 1
+    assert matched == clean.shape[0]
+    # the partial packet straddling the gap must NOT be emitted as clean
+    assert out.shape[0] < pkts.shape[0]
+
+
+def test_native_matches_python(monkeypatch):
+    from dvbs2rx_tpu.io import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native extension unavailable")
+    pkts, frames, tx = make_stream(n_pkts=50, seed=11)
+    frames = frames.copy()
+    frames[1, 100] ^= 0xA5  # one corrupted UP
+    kept = np.concatenate([frames[:3], frames[4:]])  # plus one gap
+
+    p_nat = BBFrameParser(tx.cfg.fec.kbch)
+    out_nat = np.concatenate([p_nat.push(f) for f in kept])
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    p_py = BBFrameParser(tx.cfg.fec.kbch)
+    out_py = np.concatenate([p_py.push(f) for f in kept])
+
+    assert np.array_equal(out_nat, out_py)
+    assert p_nat.stats.error_cnt == p_py.stats.error_cnt
+    assert p_nat.stats.packet_cnt == p_py.stats.packet_cnt
+    assert p_nat.stats.bbframe_gap_cnt == p_py.stats.bbframe_gap_cnt
+    assert np.array_equal(p_nat.partial, p_py.partial)
