@@ -19,8 +19,11 @@ submit-and-block timing under-reports by orders of magnitude
     compute = (t_K - t_1) / (K - 1)
 
 where t_1 is one jitted dispatch and t_K is one jitted dispatch containing
-K data-DEPENDENT copies of the stage (the device cannot overlap or elide
-them), both measured after an initial readback forces honest blocking.
+K data-DEPENDENT executions of the stage (the device cannot overlap or
+elide them), both measured after an initial readback forces honest
+blocking. The K-chain is a ``lax.scan`` whose carry feeds a data-dependent
+epsilon into the next execution's input: the stage body is compiled ONCE
+(not K unrolled copies), keeping bench compile time flat in K.
 
 Throughput = IQ samples consumed / per-sample device compute, reported as
 Msamples/s/chip. ``vs_baseline`` compares against the reference's
@@ -36,7 +39,7 @@ import time
 
 import numpy as np
 
-K = 5          # chained copies per fused timing dispatch
+K = 9          # chained executions per fused timing dispatch
 K_FE = 33      # front-end chain length (the front end is fast enough that
                # short chains disappear under dispatch jitter)
 REPS = 3       # wall-clock repetitions per measured dispatch
@@ -110,11 +113,14 @@ def main():
 
     @jax.jit
     def gf_many(h, p, flag):
-        kb = pipe.step(h, p, flag)[0]
-        for _ in range(K - 1):
-            eps = (jnp.sum(kb[0, 0, :2]) % 2).astype(jnp.float32) * 1e-12
+        def body(eps, _):
             kb = pipe.step(h + eps, p, flag)[0]
-        return kb
+            eps = (jnp.sum(kb[0, 0, :2]) % 2).astype(jnp.float32) * 1e-12
+            return eps, kb[0, 0, 0]
+        eps, last = jax.lax.scan(
+            body, jnp.float32(0.0), None, length=K
+        )
+        return eps, last
 
     t_group_fec, t1_gf = chain_time(jax.jit(gf_one), gf_many, h, p, flag)
     kbytes, _, stats = pipe.step(h, p, flag)
@@ -145,9 +151,13 @@ def main():
 
     @jax.jit
     def fe_many(st, s):
-        chk = jnp.float32(0.0)
-        for _ in range(K_FE):
+        def body(carry, _):
+            st, chk = carry
             st, chk = fe_step(st, s + chk)
+            return (st, chk), None
+        (st, chk), _ = jax.lax.scan(
+            body, (st, jnp.float32(0.0)), None, length=K_FE
+        )
         return st, chk
 
     jax.block_until_ready(fe_one(states, samples))
