@@ -189,6 +189,40 @@ def plsc_decode_soft(plheader, enabled_mask=None):
     return jnp.argmax(scores, axis=-1).astype(jnp.int32), scores
 
 
+def plsc_decode_hard(plheader, enabled_mask=None):
+    """Coherent-hard decode (reference ``pl_signaling.cc:140`` with
+    coherent=true, soft=false): sign-quantize the derotated PLSC symbols,
+    then ML = min Hamming distance, expressed as the same (128, 64)
+    correlation against the +-1 scrambled-codeword images (score =
+    64 - 2*hamming, so argmax == argmin distance)."""
+    plsc_syms = plheader[..., SOF_LEN:, :]
+    rot = jnp.asarray(_pi2_derot_factors())
+    soft = cplx.cmul(plsc_syms, rot)[..., 0]
+    hard_pm = jnp.where(soft < 0, -1.0, 1.0).astype(jnp.float32)
+    scores = jnp.einsum("...k,ck->...c", hard_pm, jnp.asarray(_rm_images()))
+    if enabled_mask is not None:
+        scores = jnp.where(enabled_mask, scores, -jnp.inf)
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32), scores
+
+
+def plsc_decode_diff(plheader, enabled_mask=None):
+    """Differential-hard decode robust to large CFO (reference
+    ``pl_signaling.cc:142`` with coherent=false): differential demap seeded
+    by the last SOF symbol (``pi2_bpsk.cc:76-179``), then hard ML decode of
+    the still-scrambled bits against the scrambled codeword images (the
+    common XOR preserves Hamming distances)."""
+    syms = plheader[..., SOF_LEN - 1:, :]               # (..., 65, 2)
+    d = cplx.conj_mul(syms[..., 1:, :], syms[..., :-1, :])
+    odd = (jnp.arange(PLSC_LEN) & 1).astype(jnp.int32)
+    flips = (d[..., 1] < 0).astype(jnp.int32) ^ odd
+    bits = jnp.cumsum(flips, axis=-1) & 1               # running XOR
+    pm = (1 - 2 * bits).astype(jnp.float32)
+    scores = jnp.einsum("...k,ck->...c", pm, jnp.asarray(_rm_images()))
+    if enabled_mask is not None:
+        scores = jnp.where(enabled_mask, scores, -jnp.inf)
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32), scores
+
+
 # ---------------- Frequency / phase estimation ----------------
 
 @functools.lru_cache(maxsize=1)

@@ -106,6 +106,17 @@ class RxConfig:
     acm_vcm: bool = False         # PLSC-driven variable-MODCOD demodulation
     pls_list: tuple = ()          # accepted PLS values in ACM/VCM (empty =
                                   # all non-dummy)
+    pls_expected: tuple = ()      # a-priori PLS values present in the stream:
+                                  # restricts the PLSC ML search (reference
+                                  # expected_plsc, plsync_cc_impl.cc:88-141);
+                                  # empty = all valid PLS values. Dummy PLS
+                                  # 0-3 are always searched. Distinct from
+                                  # ``pls_list``: that filters the OUTPUT,
+                                  # this narrows the DECODER.
+    plsc_mode: str = "coherent-soft"  # PLSC decode mode (reference
+                                  # pl_signaling.cc:114-152): "coherent-soft"
+                                  # (default), "coherent-hard", or
+                                  # "differential" (hard, CFO-robust)
 
     def __post_init__(self):
         key = self.modcod.lower()
@@ -116,6 +127,10 @@ class RxConfig:
         self.pls = make_pls(self.modcod_num, self.frame_size == "short", self.pilots)
         self.pls_info: PLSInfo = parse_pls(self.pls)
         self.fec: FECInfo = get_fec_info(self.frame_size, self.rate)
+        if self.plsc_mode not in (
+            "coherent-soft", "coherent-hard", "differential"
+        ):
+            raise ValueError(f"Unknown PLSC decode mode {self.plsc_mode!r}")
 
 
 @dataclass
@@ -734,6 +749,20 @@ class ACMReceiver(Receiver):
             # value must count as rejected, not crash the resource lookup
             for pls in range(128):
                 self._pls_enabled[pls] = (pls >> 2) in _MODCODS
+        # The ML search runs over the a-priori expected PLS subset plus dummy
+        # frames (PLS 0-3), mirroring the reference's expected_plsc
+        # (plsync_cc_impl.cc:88-141, reed_muller.cc:42-55). By default all
+        # valid PLS values are searched so out-of-filter frames still decode
+        # to their TRUE PLS (keeping frame-length tracking right) and are
+        # rejected by the output filter.
+        if cfg.pls_expected:
+            self._plsc_search_mask = np.zeros(128, dtype=bool)
+            self._plsc_search_mask[list(cfg.pls_expected)] = True
+        else:
+            self._plsc_search_mask = np.array(
+                [(pls >> 2) in _MODCODS for pls in range(128)]
+            )
+        self._plsc_search_mask[:4] = True
         self._plsc_jit = jax.jit(self._plsc_impl)
         self._group_jits = {}
         self._pls_resources = {}
@@ -773,7 +802,13 @@ class ACMReceiver(Receiver):
 
     def _plsc_impl(self, hdr_ext):
         """hdr_ext (91, 2) -> (pls int32, timing metric f32, scores)."""
-        pls, scores = plsync.plsc_decode_soft(hdr_ext[1:])
+        decode = {
+            "coherent-soft": plsync.plsc_decode_soft,
+            "coherent-hard": plsync.plsc_decode_hard,
+            "differential": plsync.plsc_decode_diff,
+        }[self.cfg.plsc_mode]
+        mask = jnp.asarray(self._plsc_search_mask)
+        pls, scores = decode(hdr_ext[1:], enabled_mask=mask)
         d = cplx.conj_mul(hdr_ext[1:], hdr_ext[:-1])[None]     # (1, 90, 2)
         metric = plsync.frame_metric(d[:, 1:])[0]
         return pls, metric, scores

@@ -59,11 +59,12 @@ def main():
         return out["llrs"]
 
     def g_many(h, p, flag):
-        llrs = g_one(h, p, flag)
-        for _ in range(K - 1):
-            eps = (jnp.sum(llrs[0, 0, :2].astype(jnp.float32)) % 2) * 1e-12
+        def body(eps, _):
             llrs = g_one(h + eps, p + eps, flag)
-        return llrs
+            eps = (jnp.sum(llrs[0, 0, :2].astype(jnp.float32)) % 2) * 1e-12
+            return eps, None
+        eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return eps
 
     t_g = chain(jax.jit(g_one), jax.jit(g_many), h, p, flag, label="frame group")
 
@@ -74,13 +75,14 @@ def main():
     def f_one(l):
         return rx._fec_stage_impl(l)[0]
 
-    def f_many(l):
-        kb = f_one(l)
-        for _ in range(K - 1):
+    def f_many(l0):
+        def body(l, _):
+            kb = f_one(l)
             eps = (kb[0, 0] % 2).astype(jnp.int8)
             l = (l + eps[None, None]).astype(jnp.int8)
-            kb = f_one(l)
-        return kb
+            return l, None
+        l, _ = jax.lax.scan(body, l0, None, length=K)
+        return l
 
     t_f = chain(jax.jit(f_one), jax.jit(f_many), llrs0, label="fec stage")
     spg = C * F * L * 2
@@ -132,13 +134,14 @@ def fec_breakdown():
     def l_one(l):
         return rx.ldpc._decode_impl(l)[0]
 
-    def l_many(l):
-        h = l_one(l)
-        for _ in range(K - 1):
+    def l_many(l0):
+        def body(l, _):
+            h = l_one(l)
             eps = (h[0, 0] % 2).astype(jnp.int8)
             l = (l + eps[None, None]).astype(jnp.int8)
-            h = l_one(l)
-        return h
+            return l, None
+        l, _ = jax.lax.scan(body, l0, None, length=K)
+        return l
 
     t_l = chain(jax.jit(l_one), jax.jit(l_many), llrs, label="ldpc")
     iters = int(rx.ldpc._decode_impl(llrs)[2])
@@ -152,11 +155,12 @@ def fec_breakdown():
         return rx.bch._decode_impl(b)[0]
 
     # fully-dependent chain: feed corrected bits back in
-    def b_many2(b):
-        c = b_one(b)
-        for _ in range(K - 1):
-            c = b_one(c.astype(jnp.uint8))
-        return c
+    def b_many2(b0):
+        def body(b, _):
+            c = b_one(b)
+            return c.astype(jnp.uint8), None
+        b, _ = jax.lax.scan(body, b0, None, length=K)
+        return b
 
     t_b = chain(jax.jit(b_one), jax.jit(b_many2), hard, label="bch (clean)")
 
