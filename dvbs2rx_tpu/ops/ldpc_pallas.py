@@ -168,15 +168,18 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
                 return jnp.maximum(jnp.minimum(jnp.abs(inp32), 127) - BETA, 0)
 
             inps8 = []
+            mags8 = []          # pass-1 magnitudes cached for pass 2
             inp = mk_inp(0)
             inps8.append(inp.astype(jnp.int8))
             min0 = mag_of(inp)
+            mags8.append(min0.astype(jnp.int8))
             min1 = jnp.full((M, B), _INF, jnp.int32)
             sgn = inp < 0
             for c in range(1, E):
                 inp = mk_inp(c)
                 inps8.append(inp.astype(jnp.int8))
                 mag = mag_of(inp)
+                mags8.append(mag.astype(jnp.int8))
                 lower = mag < min0
                 min1 = jnp.where(lower, min0, jnp.minimum(min1, mag))
                 min0 = jnp.minimum(min0, mag)
@@ -185,7 +188,7 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
             # pass 2: per-edge check output, message + delta write-back
             for c in range(E):
                 inp = inps8[c].astype(jnp.int32)
-                mag = mag_of(inp)
+                mag = mags8[c].astype(jnp.int32)
                 excl = jnp.where(mag == min0, min1, min0)
                 out = jnp.where(sgn ^ (inp < 0), -excl, excl)
                 msg = jnp.clip(out, MSG_LO, MSG_HI)
