@@ -155,7 +155,8 @@ def pl_oracle(tmp_path_factory):
          os.path.join(root, "pl_oracle_main.cc"),
          "/root/reference/lib/pi2_bpsk.cc",
          "/root/reference/lib/reed_muller.cc",
-         "/root/reference/lib/pl_descrambler.cc"],
+         "/root/reference/lib/pl_descrambler.cc",
+         "/root/reference/lib/pl_signaling.cc"],
         check=True,
     )
     return str(out)
@@ -208,3 +209,36 @@ def test_pl_primitives_match_reference(pl_oracle):
         ref = np.frombuffer(_run(pl_oracle, "plscramble", gold, 2000),
                             np.complex64)
         assert np.allclose(ref, pl_descrambling_sequence(gold)[:2000])
+
+
+def test_plsc_decoder_modes_match_reference(pl_oracle):
+    """Full plsc_decoder::decode parity for every supported (coherent, soft)
+    mode combination (``pl_signaling.cc:114-152``) against the batched ops
+    (``ops/plsync.plsc_decode_{soft,hard,diff}``) on noisy rotated headers."""
+    from dvbs2rx_tpu.ops import cplx, plsync
+    from dvbs2rx_tpu.spec import pi2_bpsk, pl_defs, reed_muller
+
+    rng = np.random.default_rng(42)
+    modes = [
+        ((1, 1), plsync.plsc_decode_soft),
+        ((1, 0), plsync.plsc_decode_hard),
+        ((0, 0), plsync.plsc_decode_diff),
+    ]
+    for trial in range(25):
+        pls = int(rng.integers(0, 128))
+        bits = np.concatenate([
+            pl_defs.SOF_BITS,
+            reed_muller.codeword_bits()[pls] ^ pl_defs.PLSC_SCRAMBLER_BITS,
+        ])
+        hdr = pi2_bpsk.map_bpsk(bits)
+        # noise + a small static rotation (common phase) both modes tolerate
+        hdr = hdr * np.exp(1j * rng.uniform(-0.15, 0.15))
+        hdr = (hdr + 0.25 * (rng.normal(size=90) + 1j * rng.normal(size=90))
+               ).astype(np.complex64)
+        tail = hdr[pl_defs.SOF_LEN - 1:]              # last SOF sym + PLSC
+        for (coherent, soft), op in modes:
+            ref = int(_run(pl_oracle, "plscdec", coherent, soft,
+                           inp=tail.astype(np.complex64).tobytes()
+                           ).decode().strip())
+            ours, _ = op(cplx.from_np(hdr))
+            assert int(ours) == ref, (trial, coherent, soft)

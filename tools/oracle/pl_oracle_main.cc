@@ -5,6 +5,8 @@
 //   rmdec_hard <hex_u64>        -> decoded plsc
 //   rmdec_soft                  -> stdin 64 floats, stdout plsc
 //   plscramble <gold> <len>     -> len complex descrambling factors
+//   plscdec <coherent> <soft>   -> stdin 65 complex (last SOF sym + 64 PLSC
+//                                  symbols), stdout decoded PLS
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -12,6 +14,7 @@
 #include "pi2_bpsk.h"
 #include "reed_muller.h"
 #include "pl_descrambler.h"
+#include "pl_signaling.h"
 using namespace gr::dvbs2rx;
 
 int main(int argc, char** argv) {
@@ -40,6 +43,15 @@ int main(int argc, char** argv) {
         float soft[64];
         fread(soft, sizeof(float), 64, stdin);
         printf("%d\n", rm.decode(soft));
+    } else if (cmd == "plscdec") {
+        bool coherent = atoi(argv[2]) != 0;
+        bool soft = atoi(argv[3]) != 0;
+        std::vector<gr_complex> in(65);
+        size_t cnt = fread(in.data(), sizeof(gr_complex), 65, stdin);
+        (void)cnt;
+        plsc_decoder dec;
+        dec.decode(in.data(), coherent, soft);
+        printf("%d\n", dec.d_plsc);
     } else if (cmd == "plscramble") {
         pl_descrambler d(atoi(argv[2]));
         int len = atoi(argv[3]);
