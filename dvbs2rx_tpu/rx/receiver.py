@@ -27,6 +27,8 @@ Architectural invariants preserved from the reference (SURVEY.md §3.2):
   ``unlock_thresh`` consecutive weak timing metrics
 """
 
+import datetime
+import time
 from dataclasses import dataclass
 
 import jax
@@ -152,6 +154,7 @@ class RxStats:
     bch_frames: int = 0
     bch_frame_errors: int = 0
     bch_corrections: int = 0
+    lock_time: float = 0.0        # epoch seconds of the last lock event
 
     def as_dict(self):
         d = dict(self.__dict__)
@@ -262,6 +265,54 @@ class Receiver:
         self.bb_parser = BBFrameParser(self.cfg.fec.kbch)
 
     # ------------- public API -------------
+
+    def get_stats(self, sym_rate: float = None) -> dict:
+        """Nested statistics in the reference's ``get_stats`` shape
+        (``apps/dvbs2-rx:996-1057``): lock/snr plus plsync, fec, bbframes
+        and mpeg-ts sections. ``sym_rate`` scales the normalized frequency
+        offset to Hz like the reference."""
+        s = self.stats
+        bb = self.bb_parser.stats
+        fer = s.bch_frame_errors / s.bch_frames if s.bch_frames else None
+        per = bb.error_cnt / bb.packet_cnt if bb.packet_cnt else None
+        foff = s.cum_freq_offset
+        return {
+            "lock": s.locked,
+            "snr": s.snr_db if s.bch_frames else None,
+            "plsync": {
+                "coarse_freq_corr": s.coarse_corrected,
+                "freq_offset_hz": foff * sym_rate if sym_rate else foff,
+                "sof_count": s.sof_cnt,
+                "frame_count": {
+                    "processed": s.frame_cnt,
+                    "rejected": s.rejected_cnt,
+                    "dummy": s.dummy_cnt,
+                },
+                "locked_since": (
+                    datetime.datetime.fromtimestamp(s.lock_time).isoformat()
+                    if s.locked and s.lock_time else None
+                ),
+            },
+            "fec": {
+                "frames": s.bch_frames,
+                "errors": s.bch_frame_errors,
+                "fer": fer,
+                "avg_ldpc_trials": (
+                    s.ldpc_total_iters / s.ldpc_frames
+                    if s.ldpc_frames else None
+                ),
+            },
+            "bbframes": {
+                "processed": bb.bbframe_cnt,
+                "dropped": bb.bbframe_drop_cnt,
+                "gaps": bb.bbframe_gap_cnt,
+            },
+            "mpeg-ts": {
+                "packets": bb.packet_cnt,
+                "errors": bb.error_cnt,
+                "per": per,
+            },
+        }
 
     def receive(self, iq: np.ndarray, flush: bool = True) -> np.ndarray:
         """Process IQ samples (complex64 at sps samples/symbol); returns TS
@@ -408,6 +459,7 @@ class Receiver:
             return True
         self._lock_state = "locked"
         self.stats.lock_cnt += 1
+        self.stats.lock_time = time.time()
         self._unlock_cnt = 0
         self._frame_phase = sof_start
         self.stats.sof_cnt += 2
@@ -887,6 +939,7 @@ class ACMReceiver(Receiver):
             return True
         self._lock_state = "locked"
         self.stats.lock_cnt += 1
+        self.stats.lock_time = time.time()
         self._frame_phase = sof_start
         self._curr_pls = int(pls)
         self.stats.sof_cnt += 2

@@ -43,14 +43,18 @@ def test_cli_tx_rx_file_loopback(tmp_path):
     _run("dvbs2-tx", "--in-file", str(ts_in), "--out-file", str(iq),
          "--modcod", "qpsk1/2", "--frame-size", "short", "--snr", "12")
     r = _run("dvbs2-rx", "--in-file", str(iq), "--out-file", str(ts_out),
-             "--modcod", "qpsk1/2", "--frame-size", "short")
+             "--modcod", "qpsk1/2", "--frame-size", "short",
+             "--log", "--log-period", "0")
     out = np.fromfile(ts_out, np.uint8)
     assert out.size % 188 == 0 and out.size >= 60 * 188
     n = out.size // 188
     np.testing.assert_array_equal(out.reshape(n, 188), pkts[:n])
+    stderr = r.stderr.decode()
+    # --log prints the reference-format one-line summary periodically
+    assert any(line.startswith("Lock=") for line in stderr.splitlines())
     # final stats JSON goes to stderr
     import json
-    stats = json.loads(r.stderr.decode().strip().splitlines()[-1])
+    stats = json.loads(stderr.strip().splitlines()[-1])
     assert stats["locked"] and stats["bch_frame_errors"] == 0
 
 
