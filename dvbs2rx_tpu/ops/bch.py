@@ -188,6 +188,38 @@ class BCHDecoder:
 
         return jax.lax.cond(jnp.all(clean), fast, slow, None)
 
+    def decode_lane_major(self, bits_t):
+        """bits_t (nbch, B) uint8 -> (corrected_t (nbch, B), n_corr (B,)).
+
+        Lane-major twin of ``_decode_impl``: the syndrome matmul contracts
+        over axis 0 directly (no int8 transpose); the rare correcting path
+        pays one transposed mask application.
+        """
+        B = bits_t.shape[1]
+        s_bits = jax.lax.dot_general(
+            bits_t.astype(jnp.int8), jnp.asarray(self._A),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) & 1                                                   # (B, 2t*m)
+        s_bits = s_bits.reshape(B, 2 * self.t, self.m)
+        weights = (1 << jnp.arange(self.m, dtype=jnp.int32))
+        S = jnp.sum(s_bits * weights[None, None, :], axis=-1)
+        clean = jnp.all(S == 0, axis=1)
+
+        def fast(_):
+            return bits_t, jnp.zeros((B,), jnp.int32)
+
+        def slow(_):
+            sigma, L = self._berlekamp_massey(S)
+            err_mask, n_roots = self._chien(sigma)              # (B, nbch)
+            fail = (~clean) & ((L > self.t) | (n_roots != L))
+            apply_mask = (~clean[None, :]) & (~fail[None, :]) & err_mask.T
+            corrected_t = bits_t ^ apply_mask.astype(bits_t.dtype)
+            n_corr = jnp.where(clean, 0, jnp.where(fail, -1, n_roots))
+            return corrected_t, n_corr
+
+        return jax.lax.cond(jnp.all(clean), fast, slow, None)
+
     def __call__(self, bits):
         """bits (B, nbch) uint8 -> (corrected bits, n_corrections (B,)).
 

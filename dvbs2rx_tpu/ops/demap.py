@@ -44,14 +44,15 @@ def estimate_snr_generic(syms, constellation, rate):
     return sp / jnp.maximum(np_, 1e-12)
 
 
-def demap_qpsk(syms, n0):
+def demap_qpsk(syms, n0, quantize=True):
     """(..., n, 2) -> (..., 2n) int8 LLRs; scale 2*sqrt(2)/N0."""
     scale = (2.0 * np.sqrt(2.0) / n0)[..., None, None]
     vals = syms * scale
-    return _quantize(vals.reshape(vals.shape[:-2] + (-1,)))
+    flat = vals.reshape(vals.shape[:-2] + (-1,))
+    return _quantize(flat) if quantize else flat
 
 
-def demap_8psk(syms, n0):
+def demap_8psk(syms, n0, quantize=True):
     """8PSK soft demap with the reference's rotated-axes formulation."""
     precision = (4.0 / n0)[..., None]
     dist = np.float32(2.0 * SIN_PI_8)
@@ -62,10 +63,11 @@ def demap_8psk(syms, n0):
     b2 = ci
     b0 = np.float32(SQRT2_2) * (jnp.abs(cr) - jnp.abs(ci))
     vals = jnp.stack([b0, b1, b2], axis=-1) * (dist * precision)[..., None]
-    return _quantize(vals.reshape(vals.shape[:-2] + (-1,)))
+    flat = vals.reshape(vals.shape[:-2] + (-1,))
+    return _quantize(flat) if quantize else flat
 
 
-def demap_maxlog(syms, n0, constellation, rate):
+def demap_maxlog(syms, n0, constellation, rate, quantize=True):
     """Max-log-MAP LLRs for APSK constellations."""
     n_mod = BITS_PER_SYMBOL[constellation]
     pts = cplx.from_np(constellation_points(constellation, rate))
@@ -80,7 +82,8 @@ def demap_maxlog(syms, n0, constellation, rate):
         m1 = jnp.min(jnp.where(bit == 1, d2, jnp.inf), axis=-1)
         llrs.append((m1 - m0) / n0[..., None])
     vals = jnp.stack(llrs, axis=-1)
-    return _quantize(vals.reshape(vals.shape[:-2] + (-1,)))
+    flat = vals.reshape(vals.shape[:-2] + (-1,))
+    return _quantize(flat) if quantize else flat
 
 
 def deinterleave_llrs(llrs, constellation, rate):
@@ -96,12 +99,23 @@ def deinterleave_llrs(llrs, constellation, rate):
     return jnp.concatenate(cols, axis=-1)
 
 
-def demap(syms, n0, constellation, rate):
-    """Full demapper: planar symbols -> codeword-ordered int8 LLRs."""
+def demap(syms, n0, constellation, rate, quantize=True):
+    """Full demapper: planar symbols -> codeword-ordered LLRs.
+
+    ``quantize=False`` returns pre-quantization float32 LLR values so the
+    caller can transpose to the decoder's lane-major layout in f32 (TPU
+    transposes f32 efficiently; int8 transposes are pathological) and apply
+    ``quantize_llrs`` afterwards — bit-identical to quantize-then-transpose.
+    """
     if constellation == "QPSK":
-        llrs = demap_qpsk(syms, n0)
+        llrs = demap_qpsk(syms, n0, quantize)
     elif constellation == "8PSK":
-        llrs = demap_8psk(syms, n0)
+        llrs = demap_8psk(syms, n0, quantize)
     else:
-        llrs = demap_maxlog(syms, n0, constellation, rate)
+        llrs = demap_maxlog(syms, n0, constellation, rate, quantize)
     return deinterleave_llrs(llrs, constellation, rate)
+
+
+def quantize_llrs(vals):
+    """Float LLR values -> int8 (the demapper's quantizer, exported)."""
+    return _quantize(vals)

@@ -271,6 +271,38 @@ class LDPCDecoder:
         llrs_out = jnp.concatenate([llr_data, llr_par], axis=1)
         return hard, llrs_out, self.max_trials - trials_left, (bad == 0)
 
+    def decode_lane_major(self, llrsT):
+        """(N, B) int8 entry matching PallasLDPCDecoder.decode_lane_major.
+
+        The XLA path's internal state is already lane-major; this skips the
+        (B, N) round trip entirely."""
+        code = self.code
+        K, q, M = code.K, self.q, self.M
+        B = llrsT.shape[1]
+        v = llrsT[:K].reshape(self.n_blocks, M, B)
+        par = llrsT[K:].reshape(M, q, B).transpose(1, 0, 2)
+        msgs = jnp.zeros((q, self.max_deg, M, B), _I8)
+
+        def cond(state):
+            v, p, msgs, trials, bad = state
+            return jnp.any(bad > 0) & (trials > 0)
+
+        def body(state):
+            v, p, msgs, trials, _ = state
+            for i in range(q):
+                v, p, msgs = self._update_layer(i, v, p, msgs)
+            return v, p, msgs, trials - 1, self._bad(v, p)
+
+        bad0 = self._bad(v, par)
+        v, par, msgs, trials_left, bad = jax.lax.while_loop(
+            cond, body, (v, par, msgs, self.max_trials, bad0)
+        )
+        llr_data_t = v.reshape(K, B)
+        llr_par_t = par.transpose(1, 0, 2).reshape(M * q, B)
+        llrsT_out = jnp.concatenate([llr_data_t, llr_par_t], axis=0)
+        hard_t = (llrsT_out < 0).astype(jnp.uint8)
+        return hard_t, llrsT_out, self.max_trials - trials_left, (bad == 0)
+
     def __call__(self, llrs):
         llrs = jnp.asarray(llrs, _I8)
         return self._decode(llrs)

@@ -319,8 +319,7 @@ class PallasLDPCDecoder:
                     LDPCDecoder(self.code, self.max_trials)._decode_impl
                 )
                 return self._calls[B]
-            call = _build_kernel(self.code, self.max_trials, B,
-                                 self.interpret)
+            call = self._get_kernel(B)
 
             def decode(llrs):
                 K, M, q = self.code.K, self.M, self.q
@@ -339,6 +338,41 @@ class PallasLDPCDecoder:
     def _decode_impl(self, llrs):
         # jit-traceable: shapes are static under trace
         return self._get_call(llrs.shape[0])(llrs)
+
+    def decode_lane_major(self, llrsT):
+        """Decode from (N, B) int8 LLRs, frames on the minor (lane) axis.
+
+        This is the kernel's NATIVE layout: the (B, N) -> kernel-layout int8
+        transposes cost ~4.6 ms for 128 normal frames on TPU (layout probes,
+        tools/compose_split.py) — more than the decode itself. Lane-major
+        callers (the batched pipeline) transpose once in f32 upstream
+        instead. Returns (hard_t (N, B) uint8, llrsT out, iters, conv (B,)).
+        """
+        K, M, q, nb = self.code.K, self.M, self.q, self.n_blocks
+        B = llrsT.shape[1]
+        if not self.interpret and B % 128 != 0:
+            from .ldpc import LDPCDecoder
+
+            dec = LDPCDecoder(self.code, self.max_trials)
+            hard, llrs_out, iters, conv = dec._decode_impl(llrsT.T)
+            return hard.T, llrs_out.T, iters, conv
+        call = self._get_kernel(B)
+        v = llrsT[:K].reshape(nb, M, B)
+        p = llrsT[K:].reshape(M, q, B).transpose(1, 0, 2)
+        v, p, _msgs, iters, conv = call(v, p)
+        llr_data_t = v.reshape(K, B)
+        llr_par_t = p.transpose(1, 0, 2).reshape(M * q, B)
+        llrsT_out = jnp.concatenate([llr_data_t, llr_par_t], axis=0)
+        hard_t = (llrsT_out < 0).astype(jnp.uint8)
+        return hard_t, llrsT_out, iters[0, 0], conv[0] != 0
+
+    def _get_kernel(self, B):
+        key = ("kernel", B)
+        if key not in self._calls:
+            self._calls[key] = _build_kernel(
+                self.code, self.max_trials, B, self.interpret
+            )
+        return self._calls[key]
 
     def __call__(self, llrs):
         llrs = jnp.asarray(llrs, jnp.int8)

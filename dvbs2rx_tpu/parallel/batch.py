@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import cplx
+from ..ops.demap import quantize_llrs
 from ..rx.receiver import Receiver, RxConfig
 
 
@@ -57,11 +58,19 @@ class BatchedPipeline:
             # headers_ext: (C, F+1, 91, 2); payloads: (C, F, payload_len, 2)
             group = jax.vmap(
                 lambda h, p: self._rx._frame_group_impl(
-                    h, p, coarse_corrected, n_frames=frames_per_step
+                    h, p, coarse_corrected, n_frames=frames_per_step,
+                    llr_quantize=False,
                 )
             )(headers_ext, payloads)
-            llrs = group["llrs"].reshape(-1, cfg.fec.nldpc)
-            kbytes, n_corr, iters, ok, _hard = self._rx._fec_stage_impl(llrs)
+            # transpose to the decoder's lane-major layout while still f32
+            # (int8 transposes are pathologically slow on TPU; the f32
+            # transpose + quantize is bit-identical to quantize-then-
+            # transpose — see ops/demap.demap and tools/compose_split.py)
+            llrs_f32 = group["llrs"].reshape(-1, cfg.fec.nldpc)
+            llrsT = quantize_llrs(llrs_f32.transpose(1, 0))
+            kbytes, n_corr, iters, ok, _hard = (
+                self._rx._fec_stage_lane_major_impl(llrsT)
+            )
             C, F = n_channels, frames_per_step
             # cross-channel aggregations: with the channel axis sharded over
             # the mesh, XLA lowers these reductions to ICI collectives

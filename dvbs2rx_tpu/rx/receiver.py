@@ -600,7 +600,7 @@ class Receiver:
         return True
 
     def _frame_group_impl(self, headers_ext, payloads, coarse_corrected, n_frames,
-                          n0_override=None):
+                          n0_override=None, llr_quantize=True):
         """Jitted per-group processing: metric, sync, correction, demap.
 
         ``n0_override``: refined post-decoder N0 (used once the first decoded
@@ -663,7 +663,7 @@ class Receiver:
 
         llrs = demap(
             xfec, jnp.broadcast_to(n0_demap, (n_frames,)), cfg.constellation,
-            cfg.rate,
+            cfg.rate, quantize=llr_quantize,
         )
         return {
             "metric": metric,
@@ -688,6 +688,28 @@ class Receiver:
         # hard stays on device for the post-decoder SNR refinement
         return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32), \
             ok.astype(jnp.int32), hard
+
+    def _fec_stage_lane_major_impl(self, llrsT):
+        """Lane-major FEC stage: llrsT (N, B) int8, frames on the minor axis.
+
+        The decoder-native layout end to end — no int8 transposes anywhere
+        (the (B, N) int8 -> kernel-layout transposes cost ~4.6 ms for 128
+        normal frames, more than the LDPC decode itself; see
+        tools/compose_split.py). Returns kbytes in (B, kbch/8) like
+        ``_fec_stage_impl``.
+        """
+        hard_t, _llrs_out_t, iters, ok = self.ldpc.decode_lane_major(llrsT)
+        corrected_t, n_corr = self.bch.decode_lane_major(
+            hard_t[: self.cfg.fec.nbch]
+        )
+        kbits_t = corrected_t[: self.cfg.fec.kbch].astype(jnp.int32)
+        B = kbits_t.shape[1]
+        weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
+        kbytes = jnp.sum(
+            kbits_t.reshape(-1, 8, B) * weights[None, :, None], axis=1
+        ).astype(jnp.uint8).transpose(1, 0)
+        return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32), \
+            ok.astype(jnp.int32), hard_t
 
     def _snr_refine_impl(self, xfec, hard_bits):
         """Refined linear SNR from decoded bits (reference

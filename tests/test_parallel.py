@@ -66,3 +66,32 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] == 4
     g.dryrun_multichip(8)
+
+
+def test_lane_major_fec_stage_bit_exact():
+    """The lane-major FEC stage (decoder-native (N, B) layout, f32-side
+    transpose) must match the B-major stage bit for bit on noisy LLRs."""
+    import jax.numpy as jnp
+    import numpy as np
+    from dvbs2rx_tpu.rx.receiver import Receiver, RxConfig
+    from dvbs2rx_tpu.ops.demap import quantize_llrs
+
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=6)
+    rx = Receiver(cfg)
+    rng = np.random.default_rng(3)
+    # valid codewords + noise so some frames need real iterations
+    from dvbs2rx_tpu.spec.ldpc_tables import get_code
+    code = get_code(cfg.fec.ldpc_table)
+    info = rng.integers(0, 2, (6, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    vals = (20.0 * (1.0 - 2.0 * cw)
+            + rng.normal(0, 14.0, cw.shape)).astype(np.float32)
+    llrs = np.asarray(quantize_llrs(jnp.asarray(vals)))
+
+    kb_a, corr_a, it_a, ok_a, hard_a = rx._fec_stage_impl(jnp.asarray(llrs))
+    kb_b, corr_b, it_b, ok_b, hard_b = rx._fec_stage_lane_major_impl(
+        jnp.asarray(llrs.T))
+    assert np.array_equal(np.asarray(kb_a), np.asarray(kb_b))
+    assert np.array_equal(np.asarray(corr_a), np.asarray(corr_b))
+    assert np.array_equal(np.asarray(hard_a), np.asarray(hard_b).T)
+    assert int(it_a) == int(it_b)

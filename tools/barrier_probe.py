@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Does an optimization_barrier between group and FEC fix the layout cost?"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+K = 9
+REPS = 5
+
+
+def main():
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.parallel.batch import BatchedPipeline
+    from dvbs2rx_tpu.ops.demap import quantize_llrs
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    C, F = 64, 2
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", fec_batch=C * F)
+    L = cfg.pls_info.plframe_len
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
+    rng = np.random.default_rng(0)
+    n_pkts = ((F + 2) * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    syms = tx.modulate_ts(pkts.reshape(-1))[: (F + 1) * L + 91]
+    n0 = 10 ** (-6.0 / 10)
+    noisy = syms + (rng.normal(0, np.sqrt(n0 / 2), (syms.size, 2)).astype(np.float32)
+                    @ np.array([1, 1j], np.complex64))
+    symbols = np.stack([noisy.astype(np.complex64)] * C)
+
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    _ = float(np.asarray(jnp.sum(jnp.ones(8))))
+
+    pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
+    rx = pipe._rx
+    h, p = pipe.frame_inputs_from_symbols(symbols)
+    h = jax.device_put(jnp.asarray(h)); p = jax.device_put(jnp.asarray(p))
+    flag = jnp.asarray(True)
+
+    def group_t(h, p):
+        out = jax.vmap(
+            lambda hh, pp: rx._frame_group_impl(
+                hh, pp, flag, n_frames=F, llr_quantize=False)
+        )(h, p)
+        return out["llrs"].reshape(-1, cfg.fec.nldpc)
+
+    def fec(llrsT):
+        kbytes, n_corr, iters, ok, _ = rx._fec_stage_lane_major_impl(llrsT)
+        return jnp.sum(kbytes.astype(jnp.float32))
+
+    def step_plain(h, p):
+        llrsT = quantize_llrs(group_t(h, p).transpose(1, 0))
+        return fec(llrsT)
+
+    def step_barrier(h, p):
+        llrs_f32 = jax.lax.optimization_barrier(group_t(h, p))
+        llrsT = jax.lax.optimization_barrier(
+            quantize_llrs(llrs_f32.transpose(1, 0)))
+        return fec(llrsT)
+
+    def measure(one, label):
+        @jax.jit
+        def chain(h, p):
+            def body(eps, _):
+                chk = one(h + eps, p + eps)
+                return (chk % 2) * 1e-12, None
+            eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return eps
+
+        single = jax.jit(lambda h, p: (one(h, p) % 2) * 1e-12)
+        jax.block_until_ready(single(h, p))
+        jax.block_until_ready(chain(h, p))
+
+        def t(f):
+            best = np.inf
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(h, p))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, tk = t(single), t(chain)
+        print(f"{label}: {(tk - t1) / (K - 1) * 1e3:.3f} ms", flush=True)
+
+    measure(step_barrier, "step WITH barrier")
+    measure(step_plain, "step plain")
+
+
+if __name__ == "__main__":
+    main()
