@@ -39,10 +39,11 @@ import time
 
 import numpy as np
 
-K = 9          # chained executions per fused timing dispatch
-K_FE = 33      # front-end chain length (the front end is fast enough that
-               # short chains disappear under dispatch jitter)
-REPS = 3       # wall-clock repetitions per measured dispatch
+K = 33         # chained executions per fused timing dispatch (long chains:
+               # per-step times are ~1 ms while tunnel dispatch jitter is
+               # several ms, so the chain must dominate the subtraction)
+K_FE = 33      # front-end chain length
+REPS = 5       # wall-clock repetitions per measured dispatch
 
 
 def chain_time(f1, fK, *args):
@@ -53,10 +54,14 @@ def chain_time(f1, fK, *args):
     jax.block_until_ready(fK(*args))
 
     def t(f):
-        t0 = time.perf_counter()
+        # min over repetitions: dispatch latency through the tunneled
+        # device is long-tailed, and the minimum is the robust estimator
+        best = float("inf")
         for _ in range(REPS):
+            t0 = time.perf_counter()
             jax.block_until_ready(f(*args))
-        return (time.perf_counter() - t0) / REPS
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     t1, tk = t(f1), t(fK)
     return max((tk - t1) / (K - 1), 1e-9), t1
@@ -160,16 +165,16 @@ def main():
         )
         return st, chk
 
-    jax.block_until_ready(fe_one(states, samples))
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        jax.block_until_ready(fe_one(states, samples))
-    t1_fe = (time.perf_counter() - t0) / REPS
-    jax.block_until_ready(fe_many(states, samples))
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        jax.block_until_ready(fe_many(states, samples))
-    tk_fe = (time.perf_counter() - t0) / REPS
+    def t_min(f):
+        jax.block_until_ready(f(states, samples))
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(states, samples))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1_fe, tk_fe = t_min(fe_one), t_min(fe_many)
     t_front = max((tk_fe - t1_fe) / (K_FE - 1), 1e-9)
 
     # ---- validation readbacks

@@ -90,9 +90,10 @@ class FeedForwardSync:
         self.n_subfilt = n_subfilt
         self._bank = bank                       # numpy (n_subfilt, L)
         self._hb = _halfband_taps()             # numpy
-        # +8 slack beyond the subfilter span: room for the within-block
-        # timing ramp (|rate| <= MAX_RATE) on top of the slip deadband
-        self._history = self.subfilt_len + 12
+        # slack beyond the subfilter span: room for the within-block timing
+        # ramp (|rate| <= MAX_RATE) plus the whole-sample offset folded into
+        # the extended tap kernels (OFF = 16 in _step_impl)
+        self._history = self.subfilt_len + 18
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
     def history(self) -> int:
@@ -192,7 +193,12 @@ class FeedForwardSync:
             self.n_subfilt - 1,
         )
         bank = jnp.asarray(self._bank)
-        taps_seg = bank[idx_seg]                              # (S, L)
+        # one-hot matmul instead of bank[idx_seg]: TPU gathers serialize
+        # (the gather pair here measured 0.42 ms of a 1.05 ms step); a
+        # (S, n_subfilt) 0/1 matrix times the bank is an exact MXU select
+        oh_idx = (idx_seg[:, None]
+                  == jnp.arange(self.n_subfilt)[None, :]).astype(jnp.float32)
+        taps_seg = oh_idx @ bank                              # (S, L)
 
         if S == 1:
             start = jnp.clip(base_seg[0] + 2, 0, n_samp - n_out * sps - L)
@@ -200,32 +206,28 @@ class FeedForwardSync:
                                use_pallas=self.use_pallas)
         else:
             # One depthwise grouped convolution instead of S separate
-            # extractions: all segments share a common window grid anchored
-            # at the minimum integer offset, and each segment's whole-sample
-            # offset is folded into its taps (shifted within a K = L + OFF
-            # extended kernel). XLA lowers this to a single conv that tiles
-            # through VMEM once — the naive per-segment slice/multiply
-            # formulation was HBM-bound.
-            OFF = 12
-            base_min = jnp.minimum(base_seg[0], base_seg[-1])
-            off_seg = jnp.clip(base_seg - base_min, 0, OFF)   # (S,)
+            # extractions. The window grid is anchored STATICALLY at sample
+            # 0 and each segment's whole-sample offset (base + 2 slack) is
+            # folded into its taps, shifted within a K = L + OFF extended
+            # kernel built by a one-hot shift composition — no data-
+            # dependent slice (the per-channel dynamic_slice lowered to a
+            # serial while loop) and no tap gather. XLA lowers the conv to
+            # a single pass that tiles through VMEM once.
+            OFF = 16
+            off_seg = jnp.clip(base_seg + 2, 0, OFF)          # (S,)
             K = L + OFF
-            col = (jnp.arange(K, dtype=jnp.int32)[None, :]
-                   - off_seg[:, None])                        # (S, K)
-            valid = (col >= 0) & (col < L)
-            taps_ext = jnp.where(
-                valid,
-                jnp.take_along_axis(
-                    taps_seg, jnp.clip(col, 0, L - 1), axis=1
-                ),
-                0.0,
-            )                                                 # (S, K)
+            shifted = jnp.stack(
+                [jnp.pad(taps_seg, ((0, 0), (o, OFF - o)))
+                 for o in range(OFF + 1)],
+                axis=1,
+            )                                                 # (S, OFF+1, K)
+            oh_off = (off_seg[:, None]
+                      == jnp.arange(OFF + 1)[None, :]).astype(jnp.float32)
+            taps_ext = jnp.einsum("so,sok->sk", oh_off, shifted)
             w_seg = (seg_len - 1) * sps + K
-            start0 = jnp.clip(
-                base_min + 2, 0, n_samp - ((S - 1) * seg_len * sps + w_seg)
-            )
-            x_blk = jax.lax.dynamic_slice_in_dim(
-                samples, start0, (n_out - 1) * sps + K, axis=0
+            assert n_samp >= (n_out - 1) * sps + K, "history too short"
+            x_blk = jax.lax.slice_in_dim(
+                samples, 0, (n_out - 1) * sps + K, axis=0
             )                                                 # (len, 2)
             wins = jnp.stack(
                 [
