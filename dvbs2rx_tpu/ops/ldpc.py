@@ -239,14 +239,12 @@ class LDPCDecoder:
 
     # ---------- decode ----------
 
-    def _decode_impl(self, llrs):
-        code = self.code
-        B = llrs.shape[0]
-        K, q, M = code.K, self.q, self.M
-
-        v = llrs[:, :K].reshape(B, self.n_blocks, M).transpose(1, 2, 0)
-        par = llrs[:, K:].reshape(B, M, q).transpose(2, 1, 0)  # pty[i, j]
-        msgs = jnp.zeros((q, self.max_deg, M, B), _I8)
+    def _run_decode(self, v, par):
+        """Shared layered-decode core on lane-major state (v (nb, M, B),
+        par (q, M, B)); returns (v, par, trials_left, bad)."""
+        q = self.q
+        B = v.shape[-1]
+        msgs = jnp.zeros((q, self.max_deg, self.M, B), _I8)
 
         def cond(state):
             v, p, msgs, trials, bad = state
@@ -259,9 +257,19 @@ class LDPCDecoder:
             return v, p, msgs, trials - 1, self._bad(v, p)
 
         bad0 = self._bad(v, par)
-        v, par, msgs, trials_left, bad = jax.lax.while_loop(
+        v, par, _msgs, trials_left, bad = jax.lax.while_loop(
             cond, body, (v, par, msgs, self.max_trials, bad0)
         )
+        return v, par, trials_left, bad
+
+    def _decode_impl(self, llrs):
+        code = self.code
+        B = llrs.shape[0]
+        K, q, M = code.K, self.q, self.M
+
+        v = llrs[:, :K].reshape(B, self.n_blocks, M).transpose(1, 2, 0)
+        par = llrs[:, K:].reshape(B, M, q).transpose(2, 1, 0)  # pty[i, j]
+        v, par, trials_left, bad = self._run_decode(v, par)
 
         hard_data = (v < 0).astype(jnp.uint8).transpose(2, 0, 1).reshape(B, K)
         hard_par = (par < 0).astype(jnp.uint8).transpose(2, 1, 0).reshape(B, M * q)
@@ -281,22 +289,7 @@ class LDPCDecoder:
         B = llrsT.shape[1]
         v = llrsT[:K].reshape(self.n_blocks, M, B)
         par = llrsT[K:].reshape(M, q, B).transpose(1, 0, 2)
-        msgs = jnp.zeros((q, self.max_deg, M, B), _I8)
-
-        def cond(state):
-            v, p, msgs, trials, bad = state
-            return jnp.any(bad > 0) & (trials > 0)
-
-        def body(state):
-            v, p, msgs, trials, _ = state
-            for i in range(q):
-                v, p, msgs = self._update_layer(i, v, p, msgs)
-            return v, p, msgs, trials - 1, self._bad(v, p)
-
-        bad0 = self._bad(v, par)
-        v, par, msgs, trials_left, bad = jax.lax.while_loop(
-            cond, body, (v, par, msgs, self.max_trials, bad0)
-        )
+        v, par, trials_left, bad = self._run_decode(v, par)
         llr_data_t = v.reshape(K, B)
         llr_par_t = par.transpose(1, 0, 2).reshape(M * q, B)
         llrsT_out = jnp.concatenate([llr_data_t, llr_par_t], axis=0)

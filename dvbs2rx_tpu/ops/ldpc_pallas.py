@@ -351,11 +351,13 @@ class PallasLDPCDecoder:
         K, M, q, nb = self.code.K, self.M, self.q, self.n_blocks
         B = llrsT.shape[1]
         if not self.interpret and B % 128 != 0:
-            from .ldpc import LDPCDecoder
+            key = ("lm-fallback", B)
+            if key not in self._calls:
+                from .ldpc import LDPCDecoder
 
-            dec = LDPCDecoder(self.code, self.max_trials)
-            hard, llrs_out, iters, conv = dec._decode_impl(llrsT.T)
-            return hard.T, llrs_out.T, iters, conv
+                dec = LDPCDecoder(self.code, self.max_trials)
+                self._calls[key] = jax.jit(dec.decode_lane_major)
+            return self._calls[key](llrsT)
         call = self._get_kernel(B)
         v = llrsT[:K].reshape(nb, M, B)
         p = llrsT[K:].reshape(M, q, B).transpose(1, 0, 2)

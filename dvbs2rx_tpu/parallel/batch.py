@@ -106,7 +106,8 @@ class BatchedPipeline:
             n0 = 1.0 / jnp.maximum(snr, 1e-9)
             llr = demap(xfec[None], n0[None], cfg.constellation, cfg.rate,
                         quantize=False)[0]
-            return {"metric": metric, "fine": fine, "n0": n0, "llrs": llr}
+            return {"metric": metric, "autocorr": r, "fine": fine, "n0": n0,
+                    "llrs": llr}
 
         def step(headers_ext, payloads, coarse_corrected):
             # headers_ext: (91, 2, C, F+1); payloads: (payload_len, 2, C, F);
@@ -118,7 +119,8 @@ class BatchedPipeline:
             out = jax.vmap(
                 lambda h, n, p: lane(h, n, p, coarse_corrected),
                 in_axes=(-1, -1, -1),
-                out_axes={"metric": 0, "fine": 0, "n0": 0, "llrs": -1},
+                out_axes={"metric": 0, "autocorr": 0, "fine": 0, "n0": 0,
+                          "llrs": -1},
             )(hdr, nxt, pay)
             llrsT = quantize_llrs(out["llrs"])                 # (N, B)
             kbytes, n_corr, iters, ok, _hard = (

@@ -281,7 +281,10 @@ class Receiver:
             "snr": s.snr_db if s.bch_frames else None,
             "plsync": {
                 "coarse_freq_corr": s.coarse_corrected,
-                "freq_offset_hz": foff * sym_rate if sym_rate else foff,
+                # offset normalized by the symbol rate, and in Hz when the
+                # caller supplies the symbol rate (reference scales by it)
+                "freq_offset_norm": foff,
+                "freq_offset_hz": foff * sym_rate if sym_rate else None,
                 "sof_count": s.sof_cnt,
                 "frame_count": {
                     "processed": s.frame_cnt,

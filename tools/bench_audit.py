@@ -55,7 +55,7 @@ def main():
     symbols = np.stack([noisy.astype(np.complex64)] * C)
 
     pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
-    h, p = pipe.frame_inputs_from_symbols(symbols)
+    h, p = pipe.channel_major_inputs(symbols)
     h = jax.device_put(jnp.asarray(h))
     p = jax.device_put(jnp.asarray(p))
     flag = jnp.asarray(True)

@@ -56,7 +56,7 @@ def main():
             @ np.array([1, 1j], dtype=np.complex64)
         )
         symbols = np.stack([noisy.astype(np.complex64)] * C)
-        h, p = pipe.frame_inputs_from_symbols(symbols)
+        h, p = pipe.channel_major_inputs(symbols)
         return jax.device_put(jnp.asarray(h)), jax.device_put(jnp.asarray(p))
 
     pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
