@@ -41,7 +41,6 @@ def main():
 
     from dvbs2rx_tpu.spec.fec_params import MODCOD_NUMBERS, DVBS2_MODCODS, get_fec_info
     from dvbs2rx_tpu.spec.ldpc_tables import get_code
-    from dvbs2rx_tpu.spec import bch_spec
     from dvbs2rx_tpu.spec.interleaver import interleave
     from dvbs2rx_tpu.spec.constellations import map_bits, BITS_PER_SYMBOL
     from dvbs2rx_tpu.ops import cplx
@@ -49,11 +48,14 @@ def main():
     from dvbs2rx_tpu.ops.ldpc import get_decoder
     from dvbs2rx_tpu.ops.bch import get_bch_decoder
 
+    from dvbs2rx_tpu.ops.encode import get_device_encoder
+
     const, rate = DVBS2_MODCODS[MODCOD_NUMBERS[args.modcod.lower()]]
     fec = get_fec_info(args.frame_size, rate)
     code = get_code(fec.ldpc_table)
     ldpc = get_decoder(fec.ldpc_table, args.iterations)
     bch = get_bch_decoder(fec.framesize, fec.t, fec.nbch, fec.kbch)
+    enc = get_device_encoder(fec.framesize, rate)
     n_mod = BITS_PER_SYMBOL[const]
 
     rng = np.random.default_rng(0)
@@ -68,27 +70,22 @@ def main():
         done = 0
         while done < args.frames:
             B = min(args.batch, args.frames - done)
-            # encode
-            msgs = rng.integers(0, 256, (B, fec.kbch // 8), dtype=np.uint8)
-            cws = np.empty((B, fec.nldpc), dtype=np.uint8)
-            for i in range(B):
-                par = bch_spec.bch_encode_bytes(msgs[i], fec.framesize, fec.t)
-                bch_cw = np.concatenate([np.unpackbits(msgs[i]), np.unpackbits(par)])
-                cws[i] = code.encode(bch_cw)
-            # modulate + AWGN + demap
-            llr_batch = np.empty((B, fec.nldpc), dtype=np.int8)
+            # encode: device batched BCH+LDPC (ops/encode.py)
+            info_bits = rng.integers(0, 2, (B, fec.kbch), dtype=np.uint8)
+            cws = np.asarray(enc(info_bits.T.copy())).T       # (B, nldpc)
+            # modulate + AWGN (host) + batched demap (device)
+            noisy = np.empty((B, fec.nldpc // n_mod), dtype=np.complex64)
             for i in range(B):
                 bits = interleave(cws[i], const, rate)
                 syms = map_bits(bits, const, rate).astype(np.complex64)
                 noise = rng.normal(0, sigma, (syms.size, 2)).astype(np.float32)
-                noisy = syms + noise[:, 0] + 1j * noise[:, 1]
-                llrs = demap(
-                    jnp.asarray(cplx.from_np(noisy))[None],
-                    jnp.asarray([np.float32(n0)]),
-                    const,
-                    rate,
-                )
-                llr_batch[i] = np.asarray(llrs)[0]
+                noisy[i] = syms + noise[:, 0] + 1j * noise[:, 1]
+            llr_batch = np.asarray(demap(
+                jnp.asarray(cplx.from_np(noisy)),
+                jnp.full((B,), np.float32(n0)),
+                const,
+                rate,
+            ))
             raw_errs += int(np.sum((llr_batch < 0) != cws))
             total_coded += B * fec.nldpc
             # decode
@@ -97,7 +94,6 @@ def main():
             ldpc_errs += int(np.sum(hard[:, : fec.kbch] != cws[:, : fec.kbch]))
             corrected, n_corr = bch(hard[:, : fec.nbch])
             corrected = np.asarray(corrected)
-            info_bits = np.unpackbits(msgs, axis=1)
             errs = np.sum(corrected[:, : fec.kbch] != info_bits, axis=1)
             bch_errs += int(errs.sum())
             fer += int(np.sum(errs > 0))
