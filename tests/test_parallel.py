@@ -95,3 +95,22 @@ def test_lane_major_fec_stage_bit_exact():
     assert np.array_equal(np.asarray(corr_a), np.asarray(corr_b))
     assert np.array_equal(np.asarray(hard_a), np.asarray(hard_b).T)
     assert int(it_a) == int(it_b)
+
+
+def test_batched_pipeline_pilots():
+    """The lane-major group's pilot branch (segmented phase correction from
+    pilot-block estimates) decodes cleanly and matches the Tx BBFRAMEs."""
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short", pilots=True,
+                   fec_batch=8)
+    C, F = 4, 2
+    syms, tx, pkts = _stimulus(cfg, C, F, seed=4)
+    pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
+    h, p = pipe.frame_inputs_from_symbols(syms)
+    kb, n0, st = pipe.step(jnp.asarray(h), jnp.asarray(p), jnp.asarray(True))
+    assert int(st["bch_errors"]) == 0
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    tx_ref = Transmitter(TxConfig(modcod=cfg.modcod, frame_size=cfg.frame_size,
+                                  pilots=True))
+    ref = tx_ref.bbframes(pkts.reshape(-1))[:F]
+    assert np.array_equal(np.asarray(kb)[0], ref)
