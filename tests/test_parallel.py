@@ -114,3 +114,20 @@ def test_batched_pipeline_pilots():
                                   pilots=True))
     ref = tx_ref.bbframes(pkts.reshape(-1))[:F]
     assert np.array_equal(np.asarray(kb)[0], ref)
+
+
+def test_batched_pipeline_8psk():
+    """Lane-major pipeline with the 8PSK demap + rate-dependent
+    deinterleave in the f32 (quantize-late) path."""
+    cfg = RxConfig(modcod="8psk3/5", frame_size="short", fec_batch=8)
+    C, F = 4, 2
+    syms, tx, pkts = _stimulus(cfg, C, F, seed=5)
+    pipe = BatchedPipeline(cfg, n_channels=C, frames_per_step=F)
+    h, p = pipe.frame_inputs_from_symbols(syms)
+    kb, n0, st = pipe.step(jnp.asarray(h), jnp.asarray(p), jnp.asarray(True))
+    assert int(st["bch_errors"]) == 0
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    tx_ref = Transmitter(TxConfig(modcod=cfg.modcod, frame_size=cfg.frame_size))
+    ref = tx_ref.bbframes(pkts.reshape(-1))[:F]
+    assert np.array_equal(np.asarray(kb)[0], ref)
