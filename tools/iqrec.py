@@ -57,7 +57,35 @@ def cmd_replay(args, extra):
         cmd += ["--gold-code", str(ann["dvbs2:gold_code"])]
     cmd += extra
     print("+", " ".join(cmd), file=sys.stderr)
-    return subprocess.call(cmd)
+    if not args.measure_cpu:
+        return subprocess.call(cmd)
+    # Host-CPU utilization sampling during replay (reference
+    # util/iqrec/cpu.py polls `top`; /proc/<pid>/stat is dependency-free).
+    import time
+
+    proc = subprocess.Popen(cmd)
+    clk = os.sysconf("SC_CLK_TCK")
+    samples = []
+    prev = None
+    while proc.poll() is None:
+        try:
+            with open(f"/proc/{proc.pid}/stat") as f:
+                parts = f.read().split()
+            cpu_s = (int(parts[13]) + int(parts[14])) / clk
+        except (OSError, IndexError, ValueError):
+            break
+        now = time.time()
+        if prev is not None and now > prev[1]:
+            samples.append(100.0 * (cpu_s - prev[0]) / (now - prev[1]))
+        prev = (cpu_s, now)
+        time.sleep(0.5)
+    if samples:
+        print(
+            f"cpu%: avg {sum(samples) / len(samples):.1f} "
+            f"peak {max(samples):.1f} over {len(samples)} samples",
+            file=sys.stderr,
+        )
+    return proc.wait()
 
 
 def main():
@@ -68,6 +96,9 @@ def main():
     p_rep = sub.add_parser("replay")
     p_rep.add_argument("basename")
     p_rep.add_argument("--out", default="-")
+    p_rep.add_argument("--measure-cpu", action="store_true",
+                       help="sample host-CPU utilization during replay "
+                       "(reference util/iqrec cpu measurement)")
     args, extra = ap.parse_known_args()
     if args.cmd == "list":
         return cmd_list(args)
