@@ -307,3 +307,32 @@ def test_loopback_normal_frame():
                                      esn0_db=8.0, seed=61, n_pkts=900)
     check_ts_subset(ts_in, ts_out, min_packets=200)
     assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_combined_impairments():
+    """CFO, symbol-clock offset, and noise together — the realistic SDR
+    condition (the reference's field configuration faces all three at
+    once). Carrier at 1% of the symbol rate, clock slow by 30 ppm,
+    Es/N0 8 dB, pilots on."""
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              pilots=True, sps=2, rolloff=0.2))
+    n_pkts = (36 * tx.df_bytes) // 188 + 2
+    ts_in = make_ts(n_pkts, seed=71)
+    iq = tx.ts_to_iq(ts_in)
+    ppm = 30e-6
+    t_out = np.arange(int(iq.size / (1 + ppm))) * (1 + ppm)
+    base = np.arange(iq.size)
+    iq_r = (np.interp(t_out, base, iq.real)
+            + 1j * np.interp(t_out, base, iq.imag)).astype(np.complex64)
+    iq_r = awgn_channel(iq_r, 8.0, sps=2, freq_offset=0.005, seed=72)
+
+    rx = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", pilots=True,
+                           fec_batch=4, coarse_period=8))
+    ts_out = rx.receive(iq_r)
+    # acquisition + coarse convergence drop the leading frames; the steady
+    # state after the coarse handoff must be bit-exact
+    check_ts_subset(ts_in, ts_out, min_packets=n_pkts // 3)
+    assert rx.stats.coarse_corrected
+    assert rx.stats.unlock_cnt == 0
+    # recovered cumulative correction ~= CFO in symbol-rate units (sps=2)
+    assert abs(rx.stats.cum_freq_offset - 0.01) < 1e-3
