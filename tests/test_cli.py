@@ -109,3 +109,40 @@ def test_cli_fractional_samp_rate(tmp_path):
     assert starts.size == 1
     ref = flat[starts[0] * 188: starts[0] * 188 + n * 188]
     np.testing.assert_array_equal(out[: ref.size], ref)
+
+
+@pytest.mark.slow
+def test_cli_rec_and_replay(tmp_path):
+    """dvbs2-rec captures IQ into a SigMF pair with dvbs2 extension
+    metadata; tools/iqrec.py replays it through dvbs2-rx to bit-exact TS
+    (reference dvbs2-rec + util/iqrec roles)."""
+    import json
+
+    ts_in = tmp_path / "in.ts"
+    iq = tmp_path / "iq.fc32"
+    pkts = _make_ts(ts_in, 60, seed=13)
+    _run("dvbs2-tx", "--in-file", str(ts_in), "--out-file", str(iq),
+         "--modcod", "qpsk1/2", "--frame-size", "short", "--snr", "13")
+
+    base = tmp_path / "cap1"
+    _run("dvbs2-rec", "--in-file", str(iq), "--out", str(base),
+         "--modcod", "qpsk1/2", "--frame-size", "short",
+         "--samp-rate", "2e6", "--sym-rate", "1e6", "--rolloff", "0.2")
+    meta = json.load(open(str(base) + ".sigmf-meta"))
+    ann = meta["annotations"][0]
+    assert ann["dvbs2:modcod"] == "qpsk1/2"
+    assert ann["dvbs2:fecframe_size"] == "short"
+    assert meta["global"]["core:datatype"].startswith("cf32")
+    data = np.fromfile(str(base) + ".sigmf-data", np.complex64)
+    assert np.array_equal(data, np.fromfile(iq, np.complex64))
+
+    ts_out = tmp_path / "replay.ts"
+    r = subprocess.run(
+        [sys.executable, os.path.join(APPS, "..", "tools", "iqrec.py"),
+         "replay", str(base), "--out", str(ts_out)],
+        env=ENV, check=True, capture_output=True, timeout=600,
+    )
+    out = np.fromfile(ts_out, np.uint8).reshape(-1, 188)
+    n = out.shape[0]
+    assert n >= 40
+    np.testing.assert_array_equal(out, pkts[:n])
