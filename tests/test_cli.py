@@ -143,6 +143,47 @@ def test_cli_rec_and_replay(tmp_path):
         env=ENV, check=True, capture_output=True, timeout=600,
     )
     out = np.fromfile(ts_out, np.uint8).reshape(-1, 188)
-    n = out.shape[0]
-    assert n >= 40
-    np.testing.assert_array_equal(out, pkts[:n])
+    assert out.shape[0] >= 40
+    starts = np.where((pkts == out[0]).all(axis=1))[0]
+    assert starts.size == 1
+    i = starts[0]
+    n = min(len(pkts) - i, out.shape[0])
+    np.testing.assert_array_equal(out[:n], pkts[i:i + n])
+
+
+@pytest.mark.slow
+def test_cli_multistream_dummy_frames(tmp_path):
+    """--multistream on: CCM/MIS stream with dummy PLFRAMEs interleaved
+    between data frames (reference plsync_cc_impl.cc:102-141 expected_plsc
+    dummies) — dummies counted and skipped, data bit-exact."""
+    import json
+
+    ts_in = tmp_path / "in.ts"
+    iq = tmp_path / "iq.fc32"
+    ts_out = tmp_path / "out.ts"
+    pkts = _make_ts(ts_in, 60, seed=17)
+
+    gen = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from dvbs2rx_tpu.tx import TxConfig\n"
+        "from dvbs2rx_tpu.tx.vcm import VCMTransmitter\n"
+        "tx = VCMTransmitter([TxConfig(modcod='qpsk1/2', frame_size='short')])\n"
+        "ts = np.fromfile(%r, np.uint8)\n"
+        "iq = tx.ts_to_iq(ts, schedule=[0, -1])\n"
+        "iq.astype(np.complex64).tofile(%r)\n" % (ROOT, str(ts_in), str(iq))
+    )
+    subprocess.run([sys.executable, "-c", gen], env=ENV, check=True,
+                   timeout=600)
+    r = _run("dvbs2-rx", "--in-file", str(iq), "--out-file", str(ts_out),
+             "--modcod", "qpsk1/2", "--frame-size", "short",
+             "--multistream", "on")
+    stats = json.loads(r.stderr.decode().strip().splitlines()[-1])
+    assert stats["dummy_cnt"] >= 5 and stats["bch_frame_errors"] == 0
+    out = np.fromfile(ts_out, np.uint8).reshape(-1, 188)
+    assert out.shape[0] >= 40
+    starts = np.where((pkts == out[0]).all(axis=1))[0]
+    assert starts.size == 1
+    i = starts[0]
+    n = min(len(pkts) - i, out.shape[0])
+    np.testing.assert_array_equal(out[:n], pkts[i:i + n])
