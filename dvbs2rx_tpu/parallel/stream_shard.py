@@ -57,6 +57,43 @@ def sharded_timing_metric(mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_matched_filter(mesh: Mesh, taps, sps: int = 2):
+    """Polyphase-free matched filter + decimation over a time-sharded stream.
+
+    Returns a jitted ``f(samples (T, 2)) -> symbols (T//sps, 2)`` with both
+    axes sharded over ``"t"``. Device i sends its last ``len(taps)-1``
+    samples to device i+1 (the FIR overlap-save halo); device 0 zero-pads
+    (stream start), so the result equals the unsharded convolution
+    ``y[k] = sum_j x[k*sps - (L-1) + j] * taps[j]`` with zero history —
+    the reference's ``set_history`` contract as one ppermute hop.
+    """
+    n = mesh.shape["t"]
+    taps = jnp.asarray(taps, jnp.float32)
+    L = int(taps.shape[0])
+
+    def local(sym):
+        # sym: (T/n, 2) local shard; T/n must be a multiple of sps
+        tail = sym[-(L - 1):]
+        halo = jax.lax.ppermute(
+            tail, "t", [(i, (i + 1) % n) for i in range(n)]
+        )
+        idx = jax.lax.axis_index("t")
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+        ext = jnp.concatenate([halo, sym], axis=0)     # (T/n + L - 1, 2)
+        lhs = ext.T[:, None, :]                        # (2, 1, len)
+        rhs = taps[None, None, :]                      # (1, 1, L)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(sps,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )                                              # (2, 1, T/n/sps)
+        return out[:, 0, :].T                          # (T/n/sps, 2)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=P("t", None), out_specs=P("t", None),
+    )
+    return jax.jit(fn)
+
+
 def shard_time(mesh: Mesh, arr):
     """Place a (T, ...) array with the leading (time) axis sharded."""
     spec = P("t", *([None] * (arr.ndim - 1)))

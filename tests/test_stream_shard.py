@@ -58,3 +58,34 @@ def test_sharded_metric_finds_sofs(waveform):
     expect = expect[expect < T]
     assert set(expect) <= set(peaks.tolist())
     assert len(peaks) <= len(expect) + 2
+
+
+def test_sharded_matched_filter_matches_unsharded():
+    """Time-sharded MF+decimate with ppermute halos equals the unsharded
+    zero-history convolution bit-for-bit (f32 exact: same op order per
+    output)."""
+    import jax
+    import jax.numpy as jnp
+    from dvbs2rx_tpu.parallel import stream_shard
+    from dvbs2rx_tpu.spec.rrc import polyphase_rrc_bank
+
+    devices = jax.devices()[:8]
+    mesh = stream_shard.make_time_mesh(devices)
+    rng = np.random.default_rng(5)
+    sps = 2
+    T = 8 * 1024 * sps
+    x = rng.normal(size=(T, 2)).astype(np.float32)
+    bank, L, _delay = polyphase_rrc_bank(sps, 0.2, 5, 4)
+    taps = bank[0]
+
+    f = stream_shard.sharded_matched_filter(mesh, taps, sps=sps)
+    y = np.asarray(f(stream_shard.shard_time(mesh, jnp.asarray(x))))
+
+    xz = np.concatenate([np.zeros((len(taps) - 1, 2), np.float32), x])
+    lhs = jnp.asarray(xz.T[:, None, :])
+    rhs = jnp.asarray(taps, jnp.float32)[None, None, :]
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(sps,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"))[:, 0, :].T)
+    assert y.shape == (T // sps, 2)
+    np.testing.assert_allclose(y, ref, rtol=0, atol=1e-5)
