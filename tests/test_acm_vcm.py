@@ -102,3 +102,23 @@ def test_reserved_modcod_rejected():
             assert not rx._pls_enabled[(modcod << 2) | tail]
     assert rx._pls_enabled[(4 << 2)]      # QPSK 1/2 stays enabled
     assert not rx._pls_enabled[0]         # dummy frame
+
+
+def test_pilots_auto_dual_pls():
+    """--pilots auto semantics: the receiver accepts the two PLS values of
+    one MODCOD (pilots on/off) and detects the transmitted variant via the
+    PLSC (reference pls_filter with two entries, apps/dvbs2-rx:764-830)."""
+    from dvbs2rx_tpu.tx import Transmitter
+
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              pilots=True))
+    ts_in = make_ts(100, seed=21)
+    iq = awgn_channel(tx.ts_to_iq(ts_in), 13.0, sps=2, seed=22)
+    dual = tuple(make_pls(4, True, p) for p in (False, True))
+    rx = _acm_rx(pls_list=dual)
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=40)
+    assert rx.stats.bch_frame_errors == 0
+    assert rx.stats.rejected_cnt == 0
+    # the pilots-on PLS was the one detected and processed
+    assert list(rx._pls_resources) == [make_pls(4, True, True)]
