@@ -73,7 +73,7 @@ class FeedForwardSync:
 
     def __init__(self, sps=2, rolloff=0.2, rrc_delay=5, n_subfilt=128,
                  smooth=0.5, rate_gain=0.3, est_window=16384, n_segments=16,
-                 use_pallas=False):
+                 use_pallas=False, max_block=40000):
         if sps != 2:
             raise ValueError("FeedForwardSync currently supports sps=2")
         self.sps = sps
@@ -90,10 +90,17 @@ class FeedForwardSync:
         self.n_subfilt = n_subfilt
         self._bank = bank                       # numpy (n_subfilt, L)
         self._hb = _halfband_taps()             # numpy
+        # Whole-sample extraction-offset window: the within-block timing
+        # position tau0 + rate*k must stay inside [0, OFF] after the +2
+        # slack. Bound: tau0 < 2*sps (slip deadband + innovation) and
+        # rate*k <= MAX_RATE*max_block, so derive OFF from max_block instead
+        # of silently clipping oversized blocks (the clip corrupts the
+        # extraction grid). _step_impl asserts n_out <= max_block.
+        self.max_block = max_block
+        self._off = max(16, int(np.ceil(2 + 2 * sps + MAX_RATE * max_block)))
         # slack beyond the subfilter span: room for the within-block timing
-        # ramp (|rate| <= MAX_RATE) plus the whole-sample offset folded into
-        # the extended tap kernels (OFF = 16 in _step_impl)
-        self._history = self.subfilt_len + 18
+        # ramp plus the whole-sample offset folded into the extended taps
+        self._history = self.subfilt_len + self._off + 2
         self._step = jax.jit(self._step_impl, static_argnums=(2,))
 
     def history(self) -> int:
@@ -146,6 +153,12 @@ class FeedForwardSync:
         return (tau_sym * self.sps) % self.sps
 
     def _step_impl(self, state: FFSyncState, samples, n_out: int):
+        if n_out > self.max_block:
+            raise ValueError(
+                f"front-end block of {n_out} symbols exceeds max_block="
+                f"{self.max_block}; construct FeedForwardSync with a larger "
+                "max_block (the extraction-offset window is sized from it)"
+            )
         sps, L = self.sps, self.subfilt_len
         # largest divisor of n_out within the configured segment count (the
         # segmentation is a phase-granularity knob, not a shape contract)
@@ -213,7 +226,7 @@ class FeedForwardSync:
             # dependent slice (the per-channel dynamic_slice lowered to a
             # serial while loop) and no tap gather. XLA lowers the conv to
             # a single pass that tiles through VMEM once.
-            OFF = 16
+            OFF = self._off
             off_seg = jnp.clip(base_seg + 2, 0, OFF)          # (S,)
             K = L + OFF
             shifted = jnp.stack(

@@ -178,7 +178,13 @@ class LDPCDecoder:
             excl_sign = (total_sign[None] ^ neg) & 1
             out = jnp.where(excl_sign == 1, -excl_min, excl_min)  # int16
 
-        new_msgs = jnp.clip(out, MSG_CLAMP_LO, MSG_CLAMP_HI).astype(_I8)
+        if self.algo == "min-sum-c":
+            # the reference's MinSumCAlgorithm<int8> update() stores messages
+            # saturated to the int8 range only (no +-32 clamp, unlike its
+            # MinSum counterpart's NormalUpdate, algorithms.hh)
+            new_msgs = jnp.clip(out, -128, 127).astype(_I8)
+        else:
+            new_msgs = jnp.clip(out, MSG_CLAMP_LO, MSG_CLAMP_HI).astype(_I8)
         if self.update_rule == "self-corrected":
             # SelfCorrectedUpdate: keep the new message only if the previous
             # one was zero or has the same sign; else store zero.

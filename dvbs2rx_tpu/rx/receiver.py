@@ -100,8 +100,9 @@ class RxConfig:
     agc: bool = True              # input AGC (the reference chain starts
                                   # with an AGC block, apps/dvbs2-rx:853-856)
     agc_gain: float = 1.0         # initial gain (reference --agc-gain)
-    agc_rate: float = 1.0         # per-sample update rate (reference
-                                  # --agc-rate; 1.0 = instant block normalize)
+    agc_rate: float = 1e-5        # per-sample update rate (reference
+                                  # --agc-rate default 1e-5; 1.0 saturates
+                                  # to an instant block normalize)
     agc_ref: float = 1.0          # target RMS amplitude (reference --agc-ref)
     out_stream: str = "ts"        # "ts" (MPEG TS) or "bb" (descrambled
                                   # BBFRAMEs, reference --out-stream bb)

@@ -28,10 +28,10 @@ def _frontend_gain_trace(cfg, iq, n_blocks):
     return gains
 
 
-def test_agc_instant_normalize_default():
-    """Default agc_rate=1.0 drives each block's mean |x| to agc_ref
-    instantly (the reference agc_cc error term is ref - |y|)."""
-    cfg = RxConfig(modcod="qpsk1/4", frame_size="short")
+def test_agc_instant_normalize():
+    """agc_rate=1.0 drives each block's mean |x| to agc_ref instantly
+    (the reference agc_cc error term is ref - |y|)."""
+    cfg = RxConfig(modcod="qpsk1/4", frame_size="short", agc_rate=1.0)
     rng = np.random.default_rng(0)
     iq = (0.03 * (rng.normal(size=2 * 65536) + 1j * rng.normal(size=2 * 65536))
           / np.sqrt(2)).astype(np.complex64)

@@ -66,7 +66,7 @@ def check_ts_subset(ts_in, ts_out, min_packets):
 def test_loopback_qpsk_short_clean():
     ts_in, ts_out, rx = run_loopback(esn0_db=15.0)
     n = check_ts_subset(ts_in, ts_out, min_packets=30)
-    assert rx.stats.locked is False or True
+    assert rx.stats.locked
     assert rx.stats.frame_cnt >= 8
     assert rx.stats.bch_frame_errors == 0
 
@@ -156,7 +156,12 @@ def test_loopback_u8_format():
     # quantize to u8 like an RTL-SDR capture (scale down to avoid clipping)
     iq_u8 = fc32_to_u8(iq * 0.25)
     iq_rt = u8_to_fc32(iq_u8)
-    rx = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4))
+    # instant AGC: the 0.25-amplitude u8 capture would otherwise take ~30
+    # front-end blocks to normalize at the reference default rate of 1e-5
+    # (an SDR user sets --agc-gain for that); this test targets the u8 IO
+    # conversion path, not AGC pull-in dynamics
+    rx = Receiver(RxConfig(modcod="qpsk1/2", frame_size="short", fec_batch=4,
+                           agc_rate=1.0))
     ts_out = rx.receive(iq_rt)
     check_ts_subset(ts_in, ts_out, min_packets=20)
 
