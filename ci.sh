@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# CI entry point (the analog of the reference's .github/workflows/test.yml):
+# build the native extension, then run the test suite on CPU. The TPU Pallas
+# kernel paths fall back to the bit-identical XLA implementations on CPU;
+# multi-device sharding tests run on a virtual 8-device CPU mesh (the test
+# conftest sets xla_force_host_platform_device_count).
+#
+# Usage: ./ci.sh [extra pytest args]
+#   FAST=1 ./ci.sh     skip the slow (normal-FECFRAME compile) tests
+set -euo pipefail
+cd "$(dirname "$0")"
+
+python -c "import jax, numpy, pytest" || {
+    echo "missing deps: pip install jax numpy pytest" >&2; exit 1; }
+
+# native extension (optional: numpy fallbacks exist, but CI should build it)
+(cd native && python setup.py -q build_ext --inplace)
+
+MARK=()
+if [[ "${FAST:-0}" == "1" ]]; then MARK=(-m "not slow"); fi
+JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}" python -m pytest tests/ -q "${MARK[@]}" "$@"

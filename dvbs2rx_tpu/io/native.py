@@ -22,6 +22,14 @@ def _load():
     global _ext
     if _ext is not None:
         return _ext
+    try:
+        # pip-installed build (setup.py places dvbs2rx_native on sys.path)
+        import dvbs2rx_native as mod
+
+        _ext = mod
+        return _ext
+    except ImportError:
+        pass
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for pat in ("native/dvbs2rx_native*.so", "native/build/**/dvbs2rx_native*.so"):
         hits = glob.glob(os.path.join(root, pat), recursive=True)
