@@ -223,6 +223,32 @@ def plsc_decode_diff(plheader, enabled_mask=None):
     return jnp.argmax(scores, axis=-1).astype(jnp.int32), scores
 
 
+def derotate_plheader(plheader, foffset, apply_freq):
+    """Coarse/fine-assisted PLHEADER derotation before PLSC decoding
+    (reference ``pl_freq_sync.cc:351-437`` ``derotate_plheader``).
+
+    Two corrections, mirroring the reference:
+
+    1. *Frequency derotation* (open-loop mode only, gated by ``apply_freq``):
+       remove the rotation accumulated across the 90 symbols using the most
+       recent coarse (or fine, once available) frequency-offset estimate.
+       In closed loop the external/internal rotator handles it, and applying
+       a stale estimate on top would be wrong (see the reference's NOTE 3).
+    2. *SOF phase correction* (always): estimate the header phase from the
+       26 a-priori-known SOF symbols only — the PLSC is not decoded yet, and
+       in VCM the previous frame's MODCOD says nothing about this one — and
+       derotate the full header by it.
+
+    plheader: (..., 90, 2) planar; foffset: scalar normalized offset;
+    apply_freq: scalar bool. Returns the derotated (..., 90, 2) header.
+    """
+    n = jnp.arange(PLHEADER_LEN, dtype=jnp.float32)
+    ph = jnp.where(apply_freq, 2 * jnp.pi * foffset, 0.0) * n
+    hdr = cplx.cmul(plheader, cplx.cexp(-ph))
+    ph_sof = sof_phase(hdr)
+    return cplx.cmul(hdr, cplx.cexp(-ph_sof)[..., None, :])
+
+
 # ---------------- Frequency / phase estimation ----------------
 
 @functools.lru_cache(maxsize=1)

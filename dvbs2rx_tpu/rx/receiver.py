@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.pls import PLSInfo, parse_pls, make_pls
+from ..spec.pl_defs import PLHEADER_LEN
 from ..spec.fec_params import get_fec_info, FECInfo, DVBS2_MODCODS, MODCOD_NUMBERS
 from ..spec.bb_frame import BBFrameParser
 from ..spec.scramblers import bb_derandomizer_bytes, pl_descrambling_sequence
@@ -179,6 +180,38 @@ def _coarse_foffset_np(r):
         ((2 * L + 1.0) ** 2 - 1) * (2 * L + 1)
     )
     return float(np.clip(np.sum(diff * w) / (2 * np.pi), -0.5, 0.5))
+
+
+def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
+    """Refined linear SNR from decoded bits (reference
+    ``xfecframe_demapper_cb_impl.cc:188-318``): re-map the decoded
+    codeword to reference constellation points and measure the error
+    against the saved XFECFRAME symbols. xfec: (B, rows, 2), hard_bits:
+    (B, n_ldpc) with the first rows*n_mod bits forming the codeword."""
+    from ..spec.constellations import constellation_points
+    from ..spec.interleaver import column_order
+
+    order = column_order(constellation, rate)
+    bits = hard_bits.astype(jnp.int32)
+    B = bits.shape[0]
+    rows = bits.shape[1] // n_mod
+    if order is None:
+        # no interleaver: codeword bits are already symbol-major
+        sym_bits = bits.reshape(B, rows, n_mod)
+    else:
+        # interleaved: codeword = n_mod column blocks; symbol bit k comes
+        # from column order[k]
+        cols = bits.reshape(B, n_mod, rows)
+        sym_bits = jnp.stack([cols[:, c] for c in order], axis=-1)
+    idx = jnp.zeros((B, rows), jnp.int32)
+    for b in range(n_mod):
+        idx = (idx << 1) | sym_bits[..., b]
+    pts = jnp.asarray(cplx.from_np(constellation_points(constellation, rate)))
+    ref = pts[idx]                                             # (B, rows, 2)
+    sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
+    np_ = jnp.sum(jnp.sum((xfec - ref) ** 2, axis=-1), axis=-1)
+    snr = sp / jnp.maximum(np_, 1e-12)
+    return jnp.mean(snr)
 
 
 class Receiver:
@@ -544,10 +577,18 @@ class Receiver:
         new_coarse = False
         for k in range(F):
             if self._settle_frames > 0:
-                # this frame's symbols predate the last rotator update; its
-                # autocorrelation measures the old residual - skip it
+                # frames still in flight across a rotator update measured
+                # the old residual. During coarse pull-in (large updates)
+                # their autocorrelation would corrupt the accumulator, so
+                # skip them; once coarse-corrected, pending FINE updates
+                # shift the residual by less than the fine range and the
+                # accumulation must continue — the periodic coarse estimate
+                # is what verifies the residual stayed within the fine
+                # range (reference plsync_cc_impl.cc:556-566), and pausing
+                # it on every fine update would starve that verifier.
                 self._settle_frames -= 1
-                continue
+                if not self._coarse_corrected:
+                    continue
             self._coarse_acc += autocorr[k]
             self._coarse_frames += 1
             if self._coarse_frames >= self.cfg.coarse_period:
@@ -570,7 +611,8 @@ class Receiver:
         # analog of the reference's scheduled updates + tag calibration).
         if self.cfg.closed_loop and self._settle_frames <= 0:
             adj = 0.0
-            if not self._coarse_corrected:
+            is_coarse_adj = not self._coarse_corrected
+            if is_coarse_adj:
                 if new_coarse:
                     adj = self._coarse_foffset
             else:
@@ -584,9 +626,11 @@ class Receiver:
                     + self._samp_buf.size // self.cfg.sps
                 )
                 self._settle_frames = in_flight // self.frame_len + 2
-                # the accumulated autocorrelation refers to the old residual
-                self._coarse_acc[:] = 0
-                self._coarse_frames = 0
+                if is_coarse_adj:
+                    # a large correction: the accumulated autocorrelation
+                    # refers to the old residual
+                    self._coarse_acc[:] = 0
+                    self._coarse_frames = 0
         self.stats.cum_freq_offset = self._cum_foffset
         self._n0 = n0
         self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
@@ -716,38 +760,11 @@ class Receiver:
             ok.astype(jnp.int32), hard_t
 
     def _snr_refine_impl(self, xfec, hard_bits):
-        """Refined linear SNR from decoded bits (reference
-        ``xfecframe_demapper_cb_impl.cc:188-318``): re-map the decoded
-        codeword to reference constellation points and measure the error
-        against the saved XFECFRAME symbols."""
-        from ..spec.constellations import constellation_points
-        from ..spec.interleaver import column_order
-
         cfg = self.cfg
-        n_mod = self.cfg.pls_info.n_mod
-        order = column_order(cfg.constellation, cfg.rate)
-        bits = hard_bits.astype(jnp.int32)
-        B = bits.shape[0]
-        rows = bits.shape[1] // n_mod
-        if order is None:
-            # no interleaver: codeword bits are already symbol-major
-            sym_bits = bits.reshape(B, rows, n_mod)
-        else:
-            # interleaved: codeword = n_mod column blocks; symbol bit k comes
-            # from column order[k]
-            cols = bits.reshape(B, n_mod, rows)
-            sym_bits = jnp.stack([cols[:, c] for c in order], axis=-1)
-        idx = jnp.zeros((B, rows), jnp.int32)
-        for b in range(n_mod):
-            idx = (idx << 1) | sym_bits[..., b]
-        pts = jnp.asarray(cplx.from_np(
-            constellation_points(cfg.constellation, cfg.rate)
-        ))
-        ref = pts[idx]                                         # (B, rows, 2)
-        sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
-        np_ = jnp.sum(jnp.sum((xfec - ref) ** 2, axis=-1), axis=-1)
-        snr = sp / jnp.maximum(np_, 1e-12)
-        return jnp.mean(snr)
+        return _snr_refine(
+            xfec, hard_bits, cfg.constellation, cfg.rate,
+            cfg.pls_info.n_mod,
+        )
 
     def _drain_fec(self) -> np.ndarray:
         out = []
@@ -800,18 +817,44 @@ class Receiver:
 
 
 class ACMReceiver(Receiver):
-    """ACM/VCM receiver: per-frame PLSC decoding drives variable-MODCOD
-    demodulation (reference ``plsync_cc`` with the PLSC decoder enabled,
-    ``lib/plsync_cc_impl.cc:582-594``).
+    """ACM/VCM receiver: PLSC-driven variable-MODCOD demodulation
+    (reference ``plsync_cc`` with the PLSC decoder enabled,
+    ``lib/plsync_cc_impl.cc:582-594``), redesigned as a *windowed batched*
+    pipeline for TPU:
 
-    Differences from the CCM path:
-    - frames are processed one at a time (lengths vary); each payload is
-      handled only after the *next* PLHEADER is decoded (two-SOF rule)
-    - device programs are compiled per PLS value actually encountered
-    - FEC batches group consecutive same-PLS frames so BBFRAMEs reach the
-      TS stitcher in order
+    - the SOF/PLSC timing metric is computed densely over a whole symbol
+      window in one dispatch; every header candidate in the window is then
+      PLSC-decoded in a second batched dispatch (the (128, 64) soft-ML
+      matmul batches trivially across candidates)
+    - frame boundaries are derived on the host by walking the decoded PLS
+      run (frame k's length comes from its decoded PLS; payload k is only
+      processed once header k+1 is confirmed — the two-SOF rule)
+    - consecutive same-PLS frames are processed through a lane-batched
+      per-PLS frame-group program (compiled once per PLS actually seen),
+      exactly like the CCM fast path
+    - before PLSC decoding, each header is derotated following the
+      reference's ``derotate_plheader`` (``pl_freq_sync.cc:351-437``):
+      SOF-phase correction always, plus open-loop frequency derotation by
+      the latest coarse/fine estimate when no closed-loop rotator runs
+    - while not coarse-corrected, the coarse CFO autocorrelation uses the
+      SOF symbols only (the decoded PLSC cannot be trusted yet — the
+      chicken-and-egg the reference breaks the same way,
+      ``plsync_cc_impl.cc:510-566``); after correction it switches to the
+      full PLHEADER for better averaging
     - frames whose PLS is not in ``pls_list`` are rejected and counted;
       dummy frames are skipped (reference ``plsync_cc_impl.cc:904-916``)
+    - post-decoder SNR refinement runs per PLS: decoded codewords are
+      re-mapped and compared against the saved XFECFRAME symbols, and the
+      refined N0 drives subsequent demapping for that PLS (reference
+      ``xfecframe_demapper_cb_impl.cc:188-318``)
+
+    One deviation from the reference, documented here: coarse corrections
+    are also fed to the (internal) rotator while frame-locked state has not
+    been reached yet. The reference only corrects when locked because its
+    asynchronous rotator messages could land mid-frame; our rotator update
+    is applied at a block boundary with a settle guard, so the race does
+    not exist — and without unlocked pull-in, a coherent-soft PLSC decode
+    can never lock under a large CFO in the first place.
     """
 
     def __init__(self, cfg: RxConfig):
@@ -841,12 +884,47 @@ class ACMReceiver(Receiver):
                 [(pls >> 2) in _MODCODS for pls in range(128)]
             )
         self._plsc_search_mask[:4] = True
-        self._plsc_jit = jax.jit(self._plsc_impl)
+        # Window sizing: the chain walk needs frame k plus header k+1 inside
+        # one window, so the window must cover the longest PLFRAME the
+        # stream can carry. Seed from the a-priori PLS knowledge and grow
+        # lazily if a longer frame is decoded (jits retrace per shape).
+        seeds = {cfg.pls} | set(cfg.pls_list) | set(cfg.pls_expected)
+        lmax = max(parse_pls(p).plframe_len for p in seeds)
+        self._win_len = self._round_win(lmax)
+        self._win_plsc = jax.jit(self._win_plsc_impl)
         self._group_jits = {}
         self._pls_resources = {}
         self._curr_pls = None
-        self._fec_queue = []  # ordered [(pls, llr), ...]
+        self._fec_queue = []  # ordered [(pls, llr np, xfec device), ...]
         self.bb_parser = BBFrameParser()  # variable frame sizes
+
+    @staticmethod
+    def _round_win(plframe_len: int) -> int:
+        return int(np.ceil((plframe_len + 384) / 1024)) * 1024
+
+    def _ensure_win(self, plframe_len: int) -> bool:
+        """Grow the window if a decoded PLS implies a longer frame."""
+        if plframe_len + 91 > self._win_len:
+            self._win_len = self._round_win(plframe_len)
+            return True
+        return False
+
+    def reset(self):
+        super().reset()
+        self._coarse_acc_sof = np.zeros(25, dtype=np.complex64)
+        self._coarse_mode = "sof"
+        self._fine_ready = False
+        # absolute stream position of _sym_buf[0] and the last header whose
+        # autocorrelation was accumulated: while searching, windows overlap
+        # across _acquire passes, and a surviving peak must not contribute
+        # to the coarse accumulator more than once
+        self._abs_pos = 0
+        self._last_acc_abs = -1
+
+    def _consume_syms(self, n: int):
+        n = int(n)
+        self._sym_buf = self._sym_buf[n:]
+        self._abs_pos += n
 
     # ---------- per-PLS resources ----------
 
@@ -872,13 +950,484 @@ class ACMReceiver(Receiver):
                 "descr": cplx.from_np(
                     pl_descrambling_sequence(self.cfg.gold_code)[: info.payload_len]
                 ),
+                "n0_refined": 0.0,   # post-decoder refined N0 (0 = not yet)
             }
             self._pls_resources[pls] = res
         return res
 
     # ---------- jitted pieces ----------
 
-    def _plsc_impl(self, hdr_ext):
+    def _derot_params(self):
+        """(foffset, apply_freq) for the pre-PLSC-decode derotation.
+
+        Open loop: derotate by the most recent fine estimate once
+        coarse-corrected and a fine estimate exists, else by the coarse
+        estimate (reference ``pl_freq_sync.cc:409-412``). Closed loop: the
+        rotator already corrects; only the SOF-phase correction applies.
+        """
+        if self.cfg.closed_loop:
+            return 0.0, False
+        if self._coarse_corrected and self._fine_ready:
+            return self._fine_foffset, True
+        return self._coarse_foffset, True
+
+    def _win_plsc_impl(self, symbols, sofs, foffset, apply_freq):
+        """Batched candidate-header processing over one window.
+
+        symbols: (W, 2); sofs: (C,) SOF start indices. Returns per candidate
+        the decoded PLS (after derotation), the SOF-only and full-PLHEADER
+        coarse autocorrelation contributions (computed on the *raw* header:
+        the estimators measure the true residual).
+        """
+        W = symbols.shape[0]
+        sofs = jnp.clip(sofs, 0, W - PLHEADER_LEN)
+
+        def gather(pos):
+            return jax.lax.dynamic_slice(symbols, (pos, 0), (PLHEADER_LEN, 2))
+
+        hdrs = jax.vmap(gather)(sofs)                        # (C, 90, 2)
+        der = plsync.derotate_plheader(hdrs, foffset, apply_freq)
+        decode = {
+            "coherent-soft": plsync.plsc_decode_soft,
+            "coherent-hard": plsync.plsc_decode_hard,
+            "differential": plsync.plsc_decode_diff,
+        }[self.cfg.plsc_mode]
+        mask = jnp.asarray(self._plsc_search_mask)
+        pls, _scores = decode(der, enabled_mask=mask)
+        sof_r = plsync.coarse_autocorr(hdrs, pls, full=False)
+        full_r = plsync.coarse_autocorr(hdrs, pls, full=True)
+        return pls, sof_r, full_r
+
+    def _acm_group(self, pls: int):
+        """Per-PLS batched frame-group program: F0 consecutive same-PLS
+        frames + the following header, compiled once per PLS."""
+        key = ("group", pls)
+        fn = self._group_jits.get(key)
+        if fn is None:
+            res = self._resources(pls)
+            info = res["info"]
+            F0 = self.cfg.frame_group
+            descr = jnp.asarray(res["descr"])
+
+            def impl(headers, pls_next, payloads, coarse_corrected,
+                     n0_override):
+                # headers (F0+1, 90, 2) — headers[F0] belongs to the NEXT
+                # frame (any PLS; only its data-aided phase is needed, so
+                # its true PLS indexes the conj-PLHEADER LUT)
+                plsv = jnp.concatenate([
+                    jnp.full((F0,), pls, jnp.int32), pls_next[None]
+                ])
+                hdr_phase = plsync.plheader_phase(headers, plsv)
+                payloads_d = cplx.cmul(payloads, descr[None])
+                if info.has_pilots:
+                    fine = plsync.fine_foffset_pilot_mode(
+                        headers[:F0], payloads_d, plsv[:F0], info.n_pilots
+                    )
+                    pil_ph = plsync.pilot_phases(payloads_d, info.n_pilots)
+                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+                    xfec = plsync.correct_payload_pilots(
+                        payloads_d, hdr_phase[:F0], pil_ph, fine_ff,
+                        info.n_slots, info.n_pilots,
+                    )
+                else:
+                    fine = plsync.fine_foffset_pilotless(
+                        hdr_phase[:F0], hdr_phase[1:], info.plframe_len
+                    )
+                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+                    xfec = plsync.correct_payload_pilotless(
+                        payloads_d, hdr_phase[:F0], fine_ff
+                    )
+                if res["constellation"] == "QPSK":
+                    snr_lin = estimate_snr_qpsk(xfec[0])
+                else:
+                    snr_lin = estimate_snr_generic(
+                        xfec[0], res["constellation"], res["rate"]
+                    )
+                n0_da = 1.0 / jnp.maximum(snr_lin, 1e-9)
+                n0 = jnp.where(n0_override > 0, n0_override, n0_da)
+                llrs = demap(
+                    xfec, jnp.broadcast_to(n0, (F0,)),
+                    res["constellation"], res["rate"],
+                )
+                return {"fine": fine, "n0": n0_da, "llrs": llrs,
+                        "xfec": xfec}
+
+            fn = jax.jit(impl)
+            self._group_jits[key] = fn
+        return fn
+
+    # ---------- windowed host pipeline ----------
+
+    @staticmethod
+    def _find_peaks(metric, thresh, guard=64):
+        """Local maxima of the dense timing metric above ``thresh``."""
+        cand = np.flatnonzero(metric > thresh)
+        peaks = []
+        for n in cand:
+            lo = max(0, int(n) - guard)
+            hi = min(metric.size, int(n) + guard + 1)
+            if int(n) == lo + int(np.argmax(metric[lo:hi])):
+                peaks.append(int(n))
+        return peaks
+
+    def _window_decode(self, start: int):
+        """Dense metric + batched PLSC decode over symbols[start:start+W].
+
+        Returns (metric (valid,), cand: dict sof -> (pls, sof_r, full_r),
+        valid). ``valid`` is the number of real (non-padded) symbols.
+        """
+        W = self._win_len
+        buf = self._sym_buf[start: start + W]
+        valid = buf.size
+        if valid < W:
+            buf = np.concatenate([buf, np.zeros(W - valid, np.complex64)])
+        dev = jnp.asarray(cplx.from_np(buf))
+        metric = np.asarray(self._acq_metric(dev))[:valid]
+
+        peaks = [n for n in self._find_peaks(metric, plsync.THRESHOLD_LOCKED)
+                 if n >= 89 and n - 89 + 90 <= valid]
+        C = W // 3330 + 3
+        if len(peaks) > C:  # keep the strongest C candidates
+            peaks = sorted(sorted(peaks, key=lambda n: -metric[n])[:C])
+        sofs = np.zeros(C, np.int32)
+        sofs[: len(peaks)] = [n - 89 for n in peaks]
+        foffset, apply_freq = self._derot_params()
+        pls, sof_r, full_r = self._win_plsc(
+            dev, jnp.asarray(sofs), jnp.float32(foffset),
+            jnp.asarray(bool(apply_freq)),
+        )
+        pls = np.asarray(pls)
+        sof_r = cplx.to_np(np.asarray(sof_r))
+        full_r = cplx.to_np(np.asarray(full_r))
+        cand = {
+            int(sofs[i]): (int(pls[i]), sof_r[i], full_r[i])
+            for i in range(len(peaks))
+        }
+        return metric, cand, valid
+
+    def _cand_at(self, cand, pos, tol=1):
+        for p in range(pos - tol, pos + tol + 1):
+            if p in cand:
+                return cand[p]
+        return None
+
+    def _acquire(self) -> bool:
+        min_need = 3330 + 181   # shortest PLFRAME + two headers
+        if self._sym_buf.size < min_need:
+            return False
+        metric, cand, valid = self._window_decode(0)
+        # SOF declaration while searching uses the higher threshold
+        # (reference THRESHOLD_UNLOCKED = 30, pl_frame_sync.h:160-162)
+        strong = {
+            sof: e for sof, e in cand.items()
+            if metric[sof + 89] > plsync.THRESHOLD_UNLOCKED
+        }
+        if not strong:
+            # no SOF in this window; drop all but a header-sized tail
+            if self._sym_buf.size > self._win_len:
+                self._consume_syms(self._win_len - 180)
+                return True
+            return False
+
+        # closed-loop coarse pull-in from every detected header (SOF-only
+        # accumulation: the PLS is not trustworthy while searching); each
+        # header contributes once even when windows overlap across passes
+        new_coarse = False
+        for sof in sorted(strong):
+            if self._abs_pos + sof <= self._last_acc_abs:
+                continue
+            self._last_acc_abs = self._abs_pos + sof
+            if self._track_coarse_frame(strong[sof][1], None):
+                new_coarse = True
+        self._closed_loop_adjust(new_coarse, None, 3330)
+
+        # chain confirmation: a candidate whose decoded PLS predicts the
+        # next SOF position correctly locks the receiver (two-SOF rule)
+        wait_sof = None
+        for sof in sorted(strong):
+            pls = strong[sof][0]
+            L = parse_pls(pls).plframe_len
+            if self._ensure_win(L):
+                return True  # window grew; retry
+            nxt_peak = sof + L + 89
+            if nxt_peak >= valid:
+                # next header beyond this window (or not received yet)
+                if wait_sof is None:
+                    wait_sof = sof
+                continue
+            confirmed = (
+                self._cand_at(cand, sof + L) is not None
+                or metric[nxt_peak] > plsync.THRESHOLD_LOCKED
+            )
+            if confirmed:
+                self._lock_state = "locked"
+                self.stats.lock_cnt += 1
+                self.stats.lock_time = time.time()
+                self._unlock_cnt = 0
+                self._frame_phase = sof
+                self._curr_pls = pls
+                self.stats.sof_cnt += 2
+                return True
+        if wait_sof is not None:
+            # align the buffer to the first unconfirmable candidate and
+            # wait for its next header
+            if wait_sof > 0:
+                self._consume_syms(wait_sof)
+                return True
+            return False
+        # candidates exist but none chains: false peaks; skip past the first
+        self._consume_syms(min(strong) + 1)
+        return True
+
+    def _process_frames(self, force=False) -> bool:
+        progressed = False
+        while self._curr_pls is not None:
+            fp = self._frame_phase
+            L0 = parse_pls(self._curr_pls).plframe_len
+            if self._ensure_win(L0):
+                continue
+            if self._sym_buf.size - fp < L0 + 91:
+                break
+            metric, cand, valid = self._window_decode(fp)
+
+            # ---- walk the decoded-PLS chain through the window ----
+            frames = []   # (pos, pls, own_metric, cand_entry or None)
+            pos, pls = 0, self._curr_pls
+            grew = False
+            while True:
+                L = parse_pls(pls).plframe_len
+                if self._ensure_win(L):
+                    grew = True
+                    break
+                nxt = pos + L
+                if nxt + 91 > valid:
+                    break
+                entry_next = self._cand_at(cand, nxt)
+                if entry_next is not None:
+                    pls_next = entry_next[0]
+                else:
+                    # weak/no peak at the expected position: decode that
+                    # single header anyway (the reference decodes every
+                    # PLHEADER regardless of the timing metric)
+                    foffset, apply_freq = self._derot_params()
+                    p, _, _ = self._plsc_jit(
+                        jnp.asarray(cplx.from_np(
+                            self._sym_buf[fp + nxt - 1: fp + nxt + 90]
+                        )),
+                        jnp.float32(foffset), jnp.asarray(bool(apply_freq)),
+                    )
+                    pls_next = int(p)
+                frames.append(
+                    (pos, pls, float(metric[pos + 89]),
+                     self._cand_at(cand, pos))
+                )
+                pos, pls = nxt, pls_next
+            if grew:
+                continue
+            if not frames:
+                break
+
+            # ---- lock maintenance ----
+            frames_all = frames
+            keep = len(frames)
+            unlocked = False
+            for k, (p, fpls, m_own, _) in enumerate(frames):
+                self.stats.sof_cnt += 1
+                if m_own > plsync.THRESHOLD_LOCKED:
+                    self._unlock_cnt = 0
+                else:
+                    self._unlock_cnt += 1
+                    if self._unlock_cnt >= self.cfg.unlock_thresh:
+                        keep = k
+                        unlocked = True
+                        break
+            frames = frames[:keep]
+
+            # ---- frequency tracking (coarse per frame, reference
+            # handle_plheader strategy) ----
+            new_coarse = False
+            for p, fpls, m_own, entry in frames:
+                if entry is None:
+                    continue
+                if self._track_coarse_frame(entry[1], entry[2]):
+                    new_coarse = True
+
+            # ---- classify + group same-PLS runs, process payloads ----
+            fine_last = None
+            run = []    # positions of consecutive same-PLS data frames
+            run_pls = None
+            mean_L = max(
+                int(np.mean([parse_pls(f[1]).plframe_len for f in frames])), 1
+            )
+
+            def flush_run(next_pls):
+                nonlocal fine_last, run, run_pls
+                if run:
+                    fine = self._process_run(run_pls, run, next_pls)
+                    if fine is not None:
+                        fine_last = fine
+                    run, run_pls = [], None
+
+            for k, (p, fpls, m_own, entry) in enumerate(frames):
+                info = parse_pls(fpls)
+                if info.dummy_frame:
+                    flush_run(fpls)
+                    self.stats.dummy_cnt += 1
+                    continue
+                if not self._pls_enabled[fpls]:
+                    flush_run(fpls)
+                    self.stats.rejected_cnt += 1
+                    continue
+                self.stats.frame_cnt += 1
+                if run and (fpls != run_pls
+                            or len(run) >= self.cfg.frame_group):
+                    flush_run(fpls)
+                run.append(p)
+                run_pls = fpls
+            # the header following the last run frame belongs to the next
+            # walked position (its PLS is known from the walk)
+            next_after = (frames_all[keep][1] if keep < len(frames_all)
+                          else pls)
+            flush_run(next_after)
+
+            self._closed_loop_adjust(new_coarse, fine_last, mean_L)
+
+            if unlocked:
+                # consume through the frame that triggered the unlock
+                bad_pos, bad_pls = frames_all[keep][0], frames_all[keep][1]
+                consumed = bad_pos + parse_pls(bad_pls).plframe_len
+                self._lock_state = "searching"
+                self.stats.unlock_cnt += 1
+                self._consume_syms(fp + consumed)
+                self._frame_phase = 0
+                self._curr_pls = None
+                self._unlock_cnt = 0
+                return True
+
+            self._consume_syms(fp + pos)
+            self._frame_phase = 0
+            self._curr_pls = pls
+            self.stats.locked = True
+            progressed = True
+            if self._sym_buf.size < parse_pls(pls).plframe_len + 91:
+                break
+        return progressed
+
+    def _process_run(self, pls, positions, next_pls):
+        """Process a run of consecutive same-PLS frames through the batched
+        per-PLS group program; queue LLRs in stream order. Returns the last
+        frame's fine-CFO estimate (or None when not coarse-corrected)."""
+        res = self._resources(pls)
+        info = res["info"]
+        F0 = self.cfg.frame_group
+        F = len(positions)
+        fp = self._frame_phase
+        L = info.plframe_len
+        p0 = fp + positions[0]
+        # headers for frames 0..F-1 plus the immediately following header
+        hidx = p0 + np.arange(F + 1)[:, None] * L + np.arange(90)[None, :]
+        hidx = np.clip(hidx, 0, self._sym_buf.size - 1)
+        headers = self._sym_buf[hidx]                      # (F+1, 90)
+        pidx = p0 + 90 + np.arange(F)[:, None] * L \
+            + np.arange(info.payload_len)[None, :]
+        payloads = self._sym_buf[pidx]                     # (F, payload_len)
+        if F < F0:   # pad to the compiled shape; only F frames are consumed
+            pad_h = np.repeat(headers[-2:-1], F0 - F, axis=0)
+            headers = np.concatenate(
+                [headers[:-1], pad_h, headers[-1:]], axis=0
+            )
+            payloads = np.concatenate(
+                [payloads, np.repeat(payloads[-1:], F0 - F, axis=0)], axis=0
+            )
+        out = self._acm_group(pls)(
+            jnp.asarray(cplx.from_np(headers)),
+            jnp.asarray(np.int32(next_pls)),
+            jnp.asarray(cplx.from_np(payloads)),
+            jnp.asarray(self._coarse_corrected),
+            jnp.float32(res["n0_refined"]),
+        )
+        llrs = np.asarray(out["llrs"])[:F]
+        for k in range(F):
+            self._fec_queue.append((pls, llrs[k], out["xfec"][k]))
+        n0 = float(out["n0"])
+        if res["n0_refined"] == 0.0:
+            self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
+        fine = float(np.asarray(out["fine"])[F - 1])
+        if self._coarse_corrected:
+            self._fine_ready = True
+            self._fine_foffset = fine
+            self.stats.fine_foffset = fine
+            return fine
+        return None
+
+    # ---------- frequency tracking ----------
+
+    def _track_coarse_frame(self, sof_r, full_r) -> bool:
+        """Accumulate one header's coarse-CFO autocorrelation; SOF-only
+        while not coarse-corrected, full PLHEADER after (reference
+        ``plsync_cc_impl.cc:510-566``). Returns True when a new estimate
+        was finalized."""
+        if self._settle_frames > 0:
+            # see Receiver._process_frames: pending COARSE updates gate the
+            # accumulation; pending fine updates must not starve the
+            # periodic coarse verification
+            self._settle_frames -= 1
+            if not self._coarse_corrected:
+                return False
+        mode = "full" if (self._coarse_corrected and full_r is not None) \
+            else "sof"
+        if mode != self._coarse_mode:
+            self._coarse_mode = mode
+            self._coarse_acc[:] = 0
+            self._coarse_acc_sof[:] = 0
+            self._coarse_frames = 0
+        if mode == "sof":
+            self._coarse_acc_sof += sof_r
+        else:
+            self._coarse_acc += full_r
+        self._coarse_frames += 1
+        if self._coarse_frames < self.cfg.coarse_period:
+            return False
+        acc = self._coarse_acc_sof if mode == "sof" else self._coarse_acc
+        est = _coarse_foffset_np(acc)
+        self._coarse_foffset = est
+        self._coarse_corrected = abs(est) < plsync.FINE_FOFFSET_CORR_RANGE
+        self._coarse_acc[:] = 0
+        self._coarse_acc_sof[:] = 0
+        self._coarse_frames = 0
+        self.stats.coarse_corrected = self._coarse_corrected
+        self.stats.coarse_foffset = est
+        return True
+
+    def _closed_loop_adjust(self, new_coarse, fine_last, mean_frame_len):
+        """Block-granular rotator update (the CCM path's logic, with the
+        settle guard measured in frames of the current mean length)."""
+        self.stats.coarse_corrected = self._coarse_corrected
+        self.stats.coarse_foffset = self._coarse_foffset
+        if not self.cfg.closed_loop or self._settle_frames > 0:
+            self.stats.cum_freq_offset = self._cum_foffset
+            return
+        adj = 0.0
+        is_coarse_adj = not self._coarse_corrected
+        if is_coarse_adj:
+            if new_coarse:
+                adj = self._coarse_foffset
+        elif fine_last is not None:
+            adj = fine_last
+        if adj != 0.0:
+            self._cum_foffset += adj
+            self._rot_inc = -self._cum_foffset * 2 * np.pi / self.cfg.sps
+            in_flight = self._sym_buf.size + self._samp_buf.size // self.cfg.sps
+            self._settle_frames = in_flight // max(mean_frame_len, 1) + 2
+            if is_coarse_adj:
+                self._coarse_acc[:] = 0
+                self._coarse_acc_sof[:] = 0
+                self._coarse_frames = 0
+        self.stats.cum_freq_offset = self._cum_foffset
+
+    # ---------- single-header decode (weak-metric fallback) ----------
+
+    def _plsc_impl(self, hdr_ext, foffset, apply_freq):
         """hdr_ext (91, 2) -> (pls int32, timing metric f32, scores)."""
         decode = {
             "coherent-soft": plsync.plsc_decode_soft,
@@ -886,188 +1435,11 @@ class ACMReceiver(Receiver):
             "differential": plsync.plsc_decode_diff,
         }[self.cfg.plsc_mode]
         mask = jnp.asarray(self._plsc_search_mask)
-        pls, scores = decode(hdr_ext[1:], enabled_mask=mask)
+        der = plsync.derotate_plheader(hdr_ext[1:], foffset, apply_freq)
+        pls, scores = decode(der, enabled_mask=mask)
         d = cplx.conj_mul(hdr_ext[1:], hdr_ext[:-1])[None]     # (1, 90, 2)
         metric = plsync.frame_metric(d[:, 1:])[0]
         return pls, metric, scores
-
-    def _acm_group(self, pls: int):
-        fn = self._group_jits.get(pls)
-        if fn is None:
-            res = self._resources(pls)
-            info = res["info"]
-
-            def impl(hdr_ext, next_hdr_ext, payload, coarse_corrected):
-                headers = jnp.stack([hdr_ext[1:], next_hdr_ext[1:]])  # (2,90,2)
-                plsv = jnp.full((2,), pls, jnp.int32)
-                r = plsync.coarse_autocorr(headers[:1], plsv[:1], full=True)
-                hdr_phase = plsync.plheader_phase(headers, plsv)
-                payload_d = cplx.cmul(payload, jnp.asarray(res["descr"]))
-                if info.has_pilots:
-                    fine = plsync.fine_foffset_pilot_mode(
-                        headers[:1], payload_d[None], plsv[:1], info.n_pilots
-                    )[0]
-                    pil_ph = plsync.pilot_phases(payload_d[None], info.n_pilots)
-                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
-                    xfec = plsync.correct_payload_pilots(
-                        payload_d[None], hdr_phase[:1], pil_ph,
-                        fine_ff[None], info.n_slots, info.n_pilots,
-                    )[0]
-                else:
-                    fine = plsync.fine_foffset_pilotless(
-                        hdr_phase[0], hdr_phase[1], info.plframe_len
-                    )
-                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
-                    xfec = plsync.correct_payload_pilotless(
-                        payload_d[None], hdr_phase[:1], fine_ff[None]
-                    )[0]
-                if res["constellation"] == "QPSK":
-                    snr_lin = estimate_snr_qpsk(xfec)
-                else:
-                    snr_lin = estimate_snr_generic(
-                        xfec, res["constellation"], res["rate"]
-                    )
-                n0 = 1.0 / jnp.maximum(snr_lin, 1e-9)
-                llrs = demap(
-                    xfec[None], n0[None], res["constellation"], res["rate"]
-                )[0]
-                return {"autocorr": r[0], "fine": fine, "n0": n0, "llrs": llrs}
-
-            fn = jax.jit(impl)
-            self._group_jits[pls] = fn
-        return fn
-
-    # ---------- host pipeline overrides ----------
-
-    def _acquire(self) -> bool:
-        if self._sym_buf.size < self._acq_win:
-            return False
-        metric = np.asarray(
-            self._acq_metric(
-                jnp.asarray(cplx.from_np(self._sym_buf[: self._acq_win]))
-            )
-        )
-        peak = int(np.argmax(metric[: self._acq_win // 2]))
-        if metric[peak] < plsync.THRESHOLD_UNLOCKED or peak < 90:
-            self._sym_buf = self._sym_buf[-(self._acq_win // 2):]
-            return False
-        sof_start = peak - 89
-        # decode this header's PLSC to learn the frame length, then confirm
-        # the next SOF lands where the PLS says it should
-        hdr_ext = self._sym_buf[sof_start - 1: sof_start + 90]
-        pls, m, _ = self._plsc_jit(jnp.asarray(cplx.from_np(hdr_ext)))
-        info = parse_pls(int(pls))
-        nxt = peak + info.plframe_len
-        if nxt >= metric.size:
-            return False  # need more symbols
-        if metric[nxt] < plsync.THRESHOLD_LOCKED:
-            self._sym_buf = self._sym_buf[peak + 1:]
-            return True
-        self._lock_state = "locked"
-        self.stats.lock_cnt += 1
-        self.stats.lock_time = time.time()
-        self._frame_phase = sof_start
-        self._curr_pls = int(pls)
-        self.stats.sof_cnt += 2
-        return True
-
-    def _process_frames(self, force=False) -> bool:
-        progressed = False
-        while True:
-            fp = self._frame_phase
-            if self._sym_buf.size < fp + 91 or self._curr_pls is None:
-                break
-            info = parse_pls(self._curr_pls)
-            L = info.plframe_len
-            if self._sym_buf.size < fp + L + 91:
-                break
-
-            # decode the next header (two-SOF rule) + verify frame timing
-            nxt_ext = cplx.from_np(self._sym_buf[fp + L - 1: fp + L + 90])
-            next_pls, metric, _ = self._plsc_jit(jnp.asarray(nxt_ext))
-            next_pls, metric = int(next_pls), float(metric)
-            self.stats.sof_cnt += 1
-            if metric > plsync.THRESHOLD_LOCKED:
-                self._unlock_cnt = 0
-            else:
-                self._unlock_cnt += 1
-                if self._unlock_cnt >= self.cfg.unlock_thresh:
-                    self._lock_state = "searching"
-                    self.stats.unlock_cnt += 1
-                    self._sym_buf = self._sym_buf[fp + L:]
-                    self._frame_phase = 0
-                    self._curr_pls = None
-                    self._unlock_cnt = 0
-                    return True
-
-            pls = self._curr_pls
-            info_ok = not info.dummy_frame and self._pls_enabled[pls]
-            if info.dummy_frame:
-                self.stats.dummy_cnt += 1
-            elif not self._pls_enabled[pls]:
-                self.stats.rejected_cnt += 1
-            else:
-                self.stats.frame_cnt += 1
-                hdr_ext = cplx.from_np(self._sym_buf[fp - 1: fp + 90]) \
-                    if fp >= 1 else cplx.from_np(
-                        np.concatenate([self._sym_buf[:1], self._sym_buf[: 90]])
-                    )
-                payload = cplx.from_np(
-                    self._sym_buf[fp + 90: fp + L]
-                )
-                out = self._acm_group(pls)(
-                    jnp.asarray(hdr_ext),
-                    jnp.asarray(nxt_ext),
-                    jnp.asarray(payload),
-                    jnp.asarray(self._coarse_corrected),
-                )
-                self._track_freq_acm(out)
-                self._fec_queue.append((pls, np.asarray(out["llrs"])))
-
-            self._sym_buf = self._sym_buf[fp + L:]
-            self._frame_phase = 0
-            self._curr_pls = next_pls
-            self.stats.locked = True
-            progressed = True
-        return progressed
-
-    def _track_freq_acm(self, out):
-        autocorr = cplx.to_np(out["autocorr"])
-        if self._settle_frames > 0:
-            self._settle_frames -= 1
-        else:
-            self._coarse_acc += autocorr
-            self._coarse_frames += 1
-            new_coarse = False
-            if self._coarse_frames >= self.cfg.coarse_period:
-                est = _coarse_foffset_np(self._coarse_acc)
-                self._coarse_foffset = est
-                self._coarse_corrected = abs(est) < plsync.FINE_FOFFSET_CORR_RANGE
-                self._coarse_acc[:] = 0
-                self._coarse_frames = 0
-                new_coarse = True
-            if self.cfg.closed_loop:
-                adj = 0.0
-                if not self._coarse_corrected:
-                    if new_coarse:
-                        adj = self._coarse_foffset
-                else:
-                    adj = float(out["fine"])
-                if adj != 0.0:
-                    self._cum_foffset += adj
-                    self._rot_inc = -self._cum_foffset * 2 * np.pi / self.cfg.sps
-                    in_flight = self._sym_buf.size + self._samp_buf.size // self.cfg.sps
-                    self._settle_frames = in_flight // max(
-                        parse_pls(self._curr_pls or 4).plframe_len, 1
-                    ) + 2
-                    self._coarse_acc[:] = 0
-                    self._coarse_frames = 0
-        self.stats.coarse_corrected = self._coarse_corrected
-        self.stats.coarse_foffset = self._coarse_foffset
-        self.stats.fine_foffset = float(out["fine"])
-        self.stats.cum_freq_offset = self._cum_foffset
-        n0 = float(out["n0"])
-        self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
 
     # ---------- ordered FEC ----------
 
@@ -1082,9 +1454,10 @@ class ACMReceiver(Receiver):
             if run < B and len(self._fec_queue) == run and not self._fec_flush:
                 break  # wait for more same-PLS frames
             take = min(run, B)
-            batch = [llr for _, llr in self._fec_queue[:take]]
+            batch = [llr for _, llr, _ in self._fec_queue[:take]]
+            xfecs = [x for _, _, x in self._fec_queue[:take]]
             del self._fec_queue[:take]
-            out.append(self._decode_acm_batch(pls0, batch))
+            out.append(self._decode_acm_batch(pls0, batch, xfecs))
         return np.concatenate(out) if out else np.empty(0, np.uint8)
 
     _fec_flush = False
@@ -1096,7 +1469,7 @@ class ACMReceiver(Receiver):
         finally:
             self._fec_flush = False
 
-    def _decode_acm_batch(self, pls, llr_list) -> np.ndarray:
+    def _decode_acm_batch(self, pls, llr_list, xfec_list) -> np.ndarray:
         res = self._resources(pls)
         B = self.cfg.fec_batch
         n = len(llr_list)
@@ -1117,12 +1490,31 @@ class ACMReceiver(Receiver):
                     kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :],
                     axis=-1,
                 ).astype(jnp.uint8)
-                return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32)
+                return kbytes, n_corr.astype(jnp.int32), \
+                    iters.astype(jnp.int32), hard
 
             fn = jax.jit(fec_impl)
             self._group_jits[key] = fn
 
-        kbytes, n_corr, iters = fn(jnp.asarray(batch))
+        kbytes, n_corr, iters, hard = fn(jnp.asarray(batch))
+
+        # post-decoder SNR refinement per PLS (reference
+        # xfecframe_demapper_cb_impl.cc:188-318): subsequent demapping of
+        # this PLS uses the refined N0
+        rkey = ("refine", pls)
+        rfn = self._group_jits.get(rkey)
+        if rfn is None:
+            const, rate = res["constellation"], res["rate"]
+            n_mod = res["info"].n_mod
+            rfn = jax.jit(
+                lambda x, h: _snr_refine(x, h, const, rate, n_mod)
+            )
+            self._group_jits[rkey] = rfn
+        snr = float(rfn(jnp.stack(list(xfec_list)), hard[:n]))
+        if snr > 0:
+            res["n0_refined"] = 1.0 / snr
+            self.stats.snr_db = float(10 * np.log10(snr))
+
         kbytes = np.asarray(kbytes)[:n]
         n_corr = np.asarray(n_corr)[:n]
         self.stats.ldpc_frames += n
@@ -1134,6 +1526,7 @@ class ACMReceiver(Receiver):
         for row in kbytes:
             ts.append(self.bb_parser.push(row ^ res["bb_scramble"]))
         return np.concatenate(ts) if ts else np.empty(0, np.uint8)
+
 
 
 def make_receiver(cfg: RxConfig):

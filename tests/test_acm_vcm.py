@@ -17,11 +17,12 @@ CFG_B = dict(modcod="qpsk3/5", frame_size="short")
 CFG_C = dict(modcod="8psk2/3", frame_size="short")
 
 
-def _vcm_waveform(schedule, n_pkts=160, esn0_db=15.0, seed=0):
+def _vcm_waveform(schedule, n_pkts=160, esn0_db=15.0, seed=0, freq_offset=0.0):
     vtx = VCMTransmitter([TxConfig(**CFG_A), TxConfig(**CFG_B), TxConfig(**CFG_C)])
     ts_in = make_ts(n_pkts, seed=seed)
     iq = vtx.ts_to_iq(ts_in, schedule)
-    iq = awgn_channel(iq, esn0_db, sps=2, seed=seed + 1)
+    iq = awgn_channel(iq, esn0_db, sps=2, seed=seed + 1,
+                      freq_offset=freq_offset)
     return ts_in, iq
 
 
@@ -122,3 +123,107 @@ def test_pilots_auto_dual_pls():
     assert rx.stats.rejected_cnt == 0
     # the pilots-on PLS was the one detected and processed
     assert list(rx._pls_resources) == [make_pls(4, True, True)]
+
+
+def test_acm_cfo_small():
+    """ACM under a small CFO (2.5e-4 of the sample rate = 5e-4 of the
+    symbol rate): the SOF-phase-corrected coherent-soft PLSC decode works
+    from the first header; coarse (SOF-only) accumulation pulls the
+    residual into the fine range and the stream decodes bit-exact
+    (VERDICT item 2 done-criterion)."""
+    ts_in, iq = _vcm_waveform(schedule=[0, 1], n_pkts=200, esn0_db=13.0,
+                              seed=31, freq_offset=2.5e-4)
+    rx = _acm_rx(coarse_period=6)
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=30)
+    assert rx.stats.frame_cnt >= 8
+    # cumulative correction converges to the symbol-rate-normalized CFO
+    assert abs(rx.stats.cum_freq_offset - 5e-4) < 1.5e-4
+
+
+def test_acm_cfo_large():
+    """ACM under a large CFO (1% of the sample rate = 2% of the symbol
+    rate, ~60x the fine range): the coherent-soft PLSC decode is garbage
+    until the SOF-only coarse accumulation (headers detected via the
+    CFO-invariant differential timing metric) pulls the rotator in; after
+    the coarse->fine handoff the stream decodes bit-exact."""
+    from dvbs2rx_tpu.tx import Transmitter
+
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              pilots=True))
+    n_pkts = (48 * tx.df_bytes) // 188 + 2
+    ts_in = make_ts(n_pkts, seed=35)
+    iq = awgn_channel(tx.ts_to_iq(ts_in), 13.0, sps=2, freq_offset=0.01,
+                      seed=36)
+    # the SOF-only estimator averages 26 symbols/frame; 10 frames per
+    # estimate keeps its residual within the fine range at this SNR (the
+    # reference default period is 30 for the same reason)
+    rx = _acm_rx(coarse_period=10)
+    ts_out = rx.receive(iq)
+    # frames before the coarse->fine handoff fail FEC by design (like the
+    # reference); the steady state after it must be bit-exact
+    check_ts_subset(ts_in, ts_out, min_packets=n_pkts // 5)
+    assert rx.stats.coarse_corrected
+    assert abs(rx.stats.cum_freq_offset - 0.02) < 5e-4
+
+
+def test_acm_open_loop_derotation():
+    """Open-loop mode (closed_loop=False, no rotator corrections at all):
+    every PLHEADER is explicitly derotated by the latest coarse/fine
+    estimate before PLSC decoding (reference pl_freq_sync.cc:351-437
+    open-loop branch) and the payload phase ramp is handled feed-forward."""
+    from dvbs2rx_tpu.tx import Transmitter
+
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              pilots=True))
+    n_pkts = (16 * tx.df_bytes) // 188 + 2
+    ts_in = make_ts(n_pkts, seed=45)
+    # symbol-rate CFO 2e-4: inside the fine estimation range, so the
+    # open-loop receiver can reach coarse-corrected without any correction
+    iq = awgn_channel(tx.ts_to_iq(ts_in), 12.0, sps=2, freq_offset=1e-4,
+                      seed=46)
+    rx = _acm_rx(coarse_period=4, closed_loop=False, pilots=True)
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=n_pkts // 3)
+    assert rx.stats.coarse_corrected
+    assert rx.stats.cum_freq_offset == 0.0      # nothing was corrected
+    assert rx._fine_ready                       # fine drove the derotation
+
+
+def test_pilots_auto_dual_pls_cfo():
+    """--pilots auto (dual-PLS filter) under CFO: the PLSC detects the
+    pilots-on variant while the coarse loop pulls the offset in."""
+    from dvbs2rx_tpu.tx import Transmitter
+
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="short",
+                              pilots=True))
+    n_pkts = (36 * tx.df_bytes) // 188 + 2
+    ts_in = make_ts(n_pkts, seed=51)
+    iq = awgn_channel(tx.ts_to_iq(ts_in), 16.0, sps=2, freq_offset=2.5e-4,
+                      seed=52)
+    dual = tuple(make_pls(4, True, p) for p in (False, True))
+    rx = _acm_rx(pls_list=dual, coarse_period=10)
+    ts_out = rx.receive(iq)
+    # early frames may fail FEC until the fine loop engages
+    check_ts_subset(ts_in, ts_out, min_packets=n_pkts // 3)
+    assert rx.stats.rejected_cnt == 0
+    assert list(rx._pls_resources) == [make_pls(4, True, True)]
+    assert abs(rx.stats.cum_freq_offset - 5e-4) < 1.5e-4
+
+
+def test_acm_snr_refinement():
+    """The ACM path refines N0 from decoded codewords per PLS (reference
+    xfecframe_demapper_cb_impl.cc:188-318) and reports the refined SNR;
+    subsequent demapping of that PLS uses the refined estimate."""
+    ts_in, iq = _vcm_waveform(schedule=[2], n_pkts=160, esn0_db=16.0,
+                              seed=61)
+    rx = _acm_rx()
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=30)
+    pls_8psk = make_pls(13, True, False)  # 8psk2/3 short
+    res = rx._pls_resources[pls_8psk]
+    assert res["n0_refined"] > 0, "refined N0 not fed back"
+    # the refined estimate must land near the true Es/N0 (8PSK soft-demap
+    # data-aided estimates are biased low at this SNR; the refinement
+    # recovers the true value within ~1 dB)
+    assert abs(rx.stats.snr_db - 16.0) < 1.0
