@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.rrc import polyphase_rrc_bank
-from .pallas_fir import mf_decimate
+from .pallas_fir import mf_decimate, mf_segmented
 
 # timing-drift rate bound, in input samples per output symbol
 MAX_RATE = 2.5e-4
@@ -81,8 +81,14 @@ class FeedForwardSync:
         self.rate_gain = rate_gain    # beta: rate innovation gain
         self.est_window = est_window
         self.n_segments = n_segments
-        # hand-written Pallas MF kernel; off by default (this environment's
-        # remote Mosaic compiler cannot build it - see PARITY.md)
+        # Hand-written Pallas MF kernel (pallas_fir.mf_segmented): compiles
+        # and validates on hardware, but MEASURED SLOWER than the XLA
+        # grouped-conv lowering it replaces — 1.74 ms vs 0.27 ms for the
+        # (64 ch x 32768 sym, 37-tap) hot shape on TPU v5e. XLA maps the
+        # strided FIR onto the MXU; the Pallas kernel is VPU-bound and pays
+        # ~2 lane-rotates per tap. Off by default on measurement, not on a
+        # compile failure (the conv fallback now runs f32 HIGHEST, fixing
+        # the bf16 default-precision error floor found during the A/B).
         self.use_pallas = use_pallas
         bank, self.subfilt_len, self.subfilt_delay = polyphase_rrc_bank(
             sps, rolloff, rrc_delay, n_subfilt
@@ -152,20 +158,30 @@ class FeedForwardSync:
         tau_sym = -jnp.arctan2(im, re) / (2 * jnp.pi)
         return (tau_sym * self.sps) % self.sps
 
-    def _step_impl(self, state: FFSyncState, samples, n_out: int):
+    def _segments(self, n_out: int) -> int:
+        """Largest divisor of n_out within the configured segment count (the
+        segmentation is a phase-granularity knob, not a shape contract)."""
+        return next(
+            s for s in range(min(self.n_segments, n_out), 0, -1)
+            if n_out % s == 0
+        )
+
+    def _track_impl(self, state: FFSyncState, samples, n_out: int):
+        """Timing estimation + alpha-beta tracking + slip bookkeeping.
+
+        Returns (new_state, taps_seg (S, L), off_seg (S,), consumed) — the
+        per-segment subfilter taps and whole-sample extraction offsets the
+        matched-filter extraction consumes. Extraction itself is separate so
+        batched callers can fuse it across channels (``step_batched``).
+        """
         if n_out > self.max_block:
             raise ValueError(
                 f"front-end block of {n_out} symbols exceeds max_block="
                 f"{self.max_block}; construct FeedForwardSync with a larger "
                 "max_block (the extraction-offset window is sized from it)"
             )
-        sps, L = self.sps, self.subfilt_len
-        # largest divisor of n_out within the configured segment count (the
-        # segmentation is a phase-granularity knob, not a shape contract)
-        S = next(
-            s for s in range(min(self.n_segments, n_out), 0, -1)
-            if n_out % s == 0
-        )
+        sps = self.sps
+        S = self._segments(n_out)
         seg_len = n_out // S
         n_samp = samples.shape[0]
 
@@ -212,56 +228,9 @@ class FeedForwardSync:
         oh_idx = (idx_seg[:, None]
                   == jnp.arange(self.n_subfilt)[None, :]).astype(jnp.float32)
         taps_seg = oh_idx @ bank                              # (S, L)
-
-        if S == 1:
-            start = jnp.clip(base_seg[0] + 2, 0, n_samp - n_out * sps - L)
-            syms = mf_decimate(samples, taps_seg[0], start, sps, n_out,
-                               use_pallas=self.use_pallas)
-        else:
-            # One depthwise grouped convolution instead of S separate
-            # extractions. The window grid is anchored STATICALLY at sample
-            # 0 and each segment's whole-sample offset (base + 2 slack) is
-            # folded into its taps, shifted within a K = L + OFF extended
-            # kernel built by a one-hot shift composition — no data-
-            # dependent slice (the per-channel dynamic_slice lowered to a
-            # serial while loop) and no tap gather. XLA lowers the conv to
-            # a single pass that tiles through VMEM once.
-            OFF = self._off
-            off_seg = jnp.clip(base_seg + 2, 0, OFF)          # (S,)
-            K = L + OFF
-            shifted = jnp.stack(
-                [jnp.pad(taps_seg, ((0, 0), (o, OFF - o)))
-                 for o in range(OFF + 1)],
-                axis=1,
-            )                                                 # (S, OFF+1, K)
-            oh_off = (off_seg[:, None]
-                      == jnp.arange(OFF + 1)[None, :]).astype(jnp.float32)
-            taps_ext = jnp.einsum("so,sok->sk", oh_off, shifted)
-            w_seg = (seg_len - 1) * sps + K
-            assert n_samp >= (n_out - 1) * sps + K, "history too short"
-            x_blk = jax.lax.slice_in_dim(
-                samples, 0, (n_out - 1) * sps + K, axis=0
-            )                                                 # (len, 2)
-            wins = jnp.stack(
-                [
-                    jax.lax.slice_in_dim(
-                        x_blk, s * seg_len * sps,
-                        s * seg_len * sps + w_seg, axis=0
-                    )
-                    for s in range(S)
-                ],
-                axis=0,
-            )                                                 # (S, w_seg, 2)
-            lhs = wins.transpose(2, 0, 1)                     # (2, S, w_seg)
-            rhs = taps_ext[:, None, :]                        # (S, 1, K)
-            out = jax.lax.conv_general_dilated(
-                lhs, rhs,
-                window_strides=(sps,),
-                padding="VALID",
-                dimension_numbers=("NCW", "OIW", "NCW"),
-                feature_group_count=S,
-            )                                                 # (2, S, seg_len)
-            syms = out.transpose(1, 2, 0).reshape(n_out, 2)
+        # whole-sample extraction offset per segment (+2 sample slack keeps
+        # slightly negative positions in bounds); bounded by the OFF window
+        off_seg = jnp.clip(base_seg + 2, 0, self._off)        # (S,)
 
         # ---- carry + slips ----
         # Position at the start of the next block (before renormalization)
@@ -284,7 +253,58 @@ class FeedForwardSync:
         new_state = FFSyncState(
             tau=tau_next, rate=rate, initialized=jnp.asarray(1, jnp.int32)
         )
-        return new_state, syms, consumed.astype(jnp.int32)
+        return new_state, taps_seg, off_seg, consumed.astype(jnp.int32)
+
+    def _extract(self, samples, taps_seg, off_seg, n_out: int):
+        """Segmented polyphase MF extraction for one channel.
+
+        The decimating FIR is one depthwise grouped convolution (the XLA
+        lowering rides the MXU; the validated Pallas alternative in
+        pallas_fir is slower — see __init__). Segment windows anchor
+        STATICALLY at the segment grid; the dynamic whole-sample offset
+        folds into extended taps, so there is no data-dependent slice (a
+        per-segment dynamic_slice lowers to a serial while loop) and no
+        tap gather.
+        """
+        sps, L = self.sps, self.subfilt_len
+        S = taps_seg.shape[0]
+        if S == 1:
+            n_samp = samples.shape[0]
+            start = jnp.clip(off_seg[0], 0, n_samp - n_out * sps - L)
+            return mf_decimate(samples, taps_seg[0], start, sps, n_out,
+                               use_pallas=self.use_pallas)
+        return mf_segmented(
+            samples[None], taps_seg[None], off_seg[None], sps, n_out // S,
+            self._off, use_pallas=self.use_pallas,
+        )[0]
+
+    def _step_impl(self, state: FFSyncState, samples, n_out: int):
+        new_state, taps_seg, off_seg, consumed = self._track_impl(
+            state, samples, n_out
+        )
+        syms = self._extract(samples, taps_seg, off_seg, n_out)
+        return new_state, syms, consumed
+
+    def step_batched(self, states: FFSyncState, samples, n_out: int):
+        """Multi-channel step: states of (C,) leaves, samples (C, n, 2).
+
+        Tracking vmaps per channel; the matched-filter extraction fuses
+        into ONE batched grouped conv / Pallas call across channels.
+        """
+        new_states, taps_seg, off_seg, consumed = jax.vmap(
+            lambda st, s: self._track_impl(st, s, n_out)
+        )(states, samples)
+        S = self._segments(n_out)
+        if S == 1:
+            syms = jax.vmap(
+                lambda s, t, o: self._extract(s, t, o, n_out)
+            )(samples, taps_seg, off_seg)
+        else:
+            syms = mf_segmented(
+                samples, taps_seg, off_seg, self.sps, n_out // S,
+                self._off, use_pallas=self.use_pallas,
+            )
+        return new_states, syms, consumed
 
     def step(self, state, samples, n_out: int):
         return self._step(state, jnp.asarray(samples, jnp.float32), n_out)

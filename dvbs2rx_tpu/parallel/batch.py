@@ -47,6 +47,59 @@ def make_channel_mesh(devices=None):
     return Mesh(np.asarray(devices), ("ch",))
 
 
+def make_lane_fn(cfg: RxConfig, descr_np):
+    """Per-lane PLFRAME processing closure shared by the batched pipelines.
+
+    ``lane(hdr_ext, nxt_ext, payload, coarse_corrected, n0_override)``:
+    one frame's extended header pair + payload -> metric/autocorr/fine/
+    n0/llrs/xfec (same math as ``Receiver._frame_group_impl`` for
+    n_frames=1; reference ``plsync_cc_impl::handle_payload`` +
+    ``xfecframe_demapper_cb``). ``n0_override > 0`` demaps with the
+    post-decoder refined N0 instead of the data-aided estimate.
+    """
+    info = cfg.pls_info
+
+    def lane(hdr_ext, nxt_ext, payload, coarse_corrected, n0_override):
+        exts = jnp.stack([hdr_ext, nxt_ext])               # (2, 91, 2)
+        headers = exts[:, 1:]                              # (2, 90, 2)
+        d = cplx.conj_mul(exts[:, 1:], exts[:, :-1])
+        metric = plsync.frame_metric(d[:, 1:])             # (2,)
+        pls2 = jnp.full((2,), cfg.pls, jnp.int32)
+        r = plsync.coarse_autocorr(headers[:1], pls2[:1], full=True)[0]
+        hdr_phase = plsync.plheader_phase(headers, pls2)   # (2,)
+        payload_d = cplx.cmul(payload, jnp.asarray(descr_np))
+        if info.has_pilots:
+            fine = plsync.fine_foffset_pilot_mode(
+                headers[0], payload_d, pls2[0], info.n_pilots
+            )
+            pil_ph = plsync.pilot_phases(payload_d, info.n_pilots)
+            fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+            xfec = plsync.correct_payload_pilots(
+                payload_d, hdr_phase[0], pil_ph, fine_ff,
+                info.n_slots, info.n_pilots,
+            )
+        else:
+            fine = plsync.fine_foffset_pilotless(
+                hdr_phase[0], hdr_phase[1], info.plframe_len
+            )
+            fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+            xfec = plsync.correct_payload_pilotless(
+                payload_d, hdr_phase[0], fine_ff
+            )
+        if cfg.constellation == "QPSK":
+            snr = estimate_snr_qpsk(xfec)
+        else:
+            snr = estimate_snr_generic(xfec, cfg.constellation, cfg.rate)
+        n0 = 1.0 / jnp.maximum(snr, 1e-9)
+        n0_demap = jnp.where(n0_override > 0, n0_override, n0)
+        llr = demap(xfec[None], n0_demap[None], cfg.constellation, cfg.rate,
+                    quantize=False)[0]
+        return {"metric": metric, "autocorr": r, "fine": fine, "n0": n0,
+                "llrs": llr, "xfec": xfec}
+
+    return lane
+
+
 class BatchedPipeline:
     """Steady-state locked pipeline over a (channel x frame) lane batch.
 
@@ -67,47 +120,7 @@ class BatchedPipeline:
         self.payload_len = self._rx.payload_len
         C, F = n_channels, frames_per_step
         B = C * F
-        info = cfg.pls_info
-        descr_np = self._rx._descr_np
-
-        def lane(hdr_ext, nxt_ext, payload, coarse_corrected):
-            """Per-lane frame processing: one frame's header pair + payload
-            (same math as Receiver._frame_group_impl for n_frames=1)."""
-            exts = jnp.stack([hdr_ext, nxt_ext])               # (2, 91, 2)
-            headers = exts[:, 1:]                              # (2, 90, 2)
-            d = cplx.conj_mul(exts[:, 1:], exts[:, :-1])
-            metric = plsync.frame_metric(d[:, 1:])             # (2,)
-            pls2 = jnp.full((2,), cfg.pls, jnp.int32)
-            r = plsync.coarse_autocorr(headers[:1], pls2[:1], full=True)[0]
-            hdr_phase = plsync.plheader_phase(headers, pls2)   # (2,)
-            payload_d = cplx.cmul(payload, jnp.asarray(descr_np))
-            if info.has_pilots:
-                fine = plsync.fine_foffset_pilot_mode(
-                    headers[0], payload_d, pls2[0], info.n_pilots
-                )
-                pil_ph = plsync.pilot_phases(payload_d, info.n_pilots)
-                fine_ff = jnp.where(coarse_corrected, fine, 0.0)
-                xfec = plsync.correct_payload_pilots(
-                    payload_d, hdr_phase[0], pil_ph, fine_ff,
-                    info.n_slots, info.n_pilots,
-                )
-            else:
-                fine = plsync.fine_foffset_pilotless(
-                    hdr_phase[0], hdr_phase[1], info.plframe_len
-                )
-                fine_ff = jnp.where(coarse_corrected, fine, 0.0)
-                xfec = plsync.correct_payload_pilotless(
-                    payload_d, hdr_phase[0], fine_ff
-                )
-            if cfg.constellation == "QPSK":
-                snr = estimate_snr_qpsk(xfec)
-            else:
-                snr = estimate_snr_generic(xfec, cfg.constellation, cfg.rate)
-            n0 = 1.0 / jnp.maximum(snr, 1e-9)
-            llr = demap(xfec[None], n0[None], cfg.constellation, cfg.rate,
-                        quantize=False)[0]
-            return {"metric": metric, "autocorr": r, "fine": fine, "n0": n0,
-                    "llrs": llr}
+        lane = make_lane_fn(cfg, self._rx._descr_np)
 
         def step(headers_ext, payloads, coarse_corrected):
             # headers_ext: (91, 2, C, F+1); payloads: (payload_len, 2, C, F);
@@ -117,11 +130,13 @@ class BatchedPipeline:
             nxt = headers_ext[..., 1:].reshape(91, 2, B)
             pay = payloads.reshape(self.payload_len, 2, B)
             out = jax.vmap(
-                lambda h, n, p: lane(h, n, p, coarse_corrected),
+                lambda h, n, p: lane(h, n, p, coarse_corrected,
+                                     jnp.float32(-1.0)),
                 in_axes=(-1, -1, -1),
                 out_axes={"metric": 0, "autocorr": 0, "fine": 0, "n0": 0,
-                          "llrs": -1},
+                          "llrs": -1, "xfec": 0},
             )(hdr, nxt, pay)
+            del out["xfec"]  # unused here; XLA dead-code-eliminates it
             llrsT = quantize_llrs(out["llrs"])                 # (N, B)
             kbytes, n_corr, iters, ok, _hard = (
                 self._rx._fec_stage_lane_major_impl(llrsT)
