@@ -1,0 +1,140 @@
+"""StreamReceiver: the fully device-resident steady-state IQ->BBFRAME step.
+
+Covers priming (dense-metric acquisition + whole-symbol rewind), bit-exact
+steady-state decoding, the vectorized closed-loop CFO pull-in (the on-device
+translation of Receiver._process_frames' host control loop), and the
+channel-sharded step on the 8-virtual-device CPU mesh (SURVEY.md §2.7's
+"one sharded IQ->TS step").
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dvbs2rx_tpu.ops import cplx
+from dvbs2rx_tpu.rx.receiver import RxConfig
+from dvbs2rx_tpu.rx.stream import StreamReceiver
+from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
+
+MODCOD, FRAME = "qpsk1/2", "short"
+
+
+def _stimulus(sr, n_steps, esn0_db=15.0, freq_offset=0.0, seed=0):
+    txc = TxConfig(modcod=MODCOD, frame_size=FRAME, sps=2, rolloff=0.2)
+    tx = Transmitter(txc)
+    rng = np.random.default_rng(seed)
+    need = sr._n_fe + n_steps * sr.n_in + 4096
+    n_frames = need // (sr.frame_len * 2) + 4
+    n_pkts = (n_frames * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    ts = pkts.reshape(-1)
+    iq1 = awgn_channel(
+        tx.ts_to_iq(ts), esn0_db, sps=2, freq_offset=freq_offset,
+        seed=seed + 1,
+    )
+    iq = np.stack([iq1] * sr.n_channels)
+    # fresh instance: the Tx scrambler/counter state advanced in ts_to_iq
+    ref_bb = Transmitter(txc).bbframes(ts)
+    return iq, ref_bb
+
+
+def _run(sr, iq, n_steps):
+    state = sr.prime(iq[:, : sr._n_fe])
+    frames, stats = [], None
+    for t in range(n_steps):
+        blk = cplx.from_np(
+            iq[:, sr._n_fe + t * sr.n_in: sr._n_fe + (t + 1) * sr.n_in]
+        ).astype(np.float32)
+        state, kbytes, stats = sr.step(state, sr.put_iq(blk))
+        frames.append(np.asarray(kbytes))
+    return frames, stats
+
+
+def _match(ref_bb, kb):
+    """Map each decoded BBFRAME to its index in the Tx frame list (-1 if
+    not present)."""
+    C, F = kb.shape[:2]
+    return [
+        [
+            int(w[0]) if (w := np.where(
+                (ref_bb == kb[c, f]).all(axis=1))[0]).size else -1
+            for f in range(F)
+        ]
+        for c in range(C)
+    ]
+
+
+def test_stream_steady_state_bit_exact():
+    C, F, T = 2, 2, 4
+    cfg = RxConfig(modcod=MODCOD, frame_size=FRAME, sym_sync_impl="ffw",
+                   fec_batch=C * F)
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    iq, ref_bb = _stimulus(sr, T)
+    frames, stats = _run(sr, iq, T)
+    last = None
+    for kb in frames:
+        idx = _match(ref_bb, kb)
+        for c in range(C):
+            assert -1 not in idx[c], f"frame not bit-exact: {idx}"
+            assert idx[c][1] == idx[c][0] + 1, f"not consecutive: {idx}"
+            if last is not None:
+                assert idx[c][0] == last[c] + 1, f"stream gap: {idx}"
+        last = [idx[c][-1] for c in range(C)]
+    assert bool(np.all(np.asarray(stats["locked"])))
+    assert int(stats["bch_errors"]) == 0
+    assert np.all(np.asarray(stats["fp"]) == 46)
+    # refined SNR ~ Es/N0 (15 dB = 31.6 linear)
+    snr = np.asarray(stats["snr_refined"])
+    assert np.all((snr > 20) & (snr < 50)), snr
+
+
+@pytest.mark.slow
+def test_stream_cfo_pull_in():
+    """Vectorized coarse->fine closed loop: 1e-3/sample CFO (2e-3/symbol,
+    beyond the fine range) pulls in via the coarse estimator and settles to
+    bit-exact decoding."""
+    C, F, T = 1, 2, 12
+    cfg = RxConfig(modcod=MODCOD, frame_size=FRAME, sym_sync_impl="ffw",
+                   fec_batch=C * F, coarse_period=4)
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    iq, ref_bb = _stimulus(sr, T, freq_offset=1e-3, seed=2)
+    state = sr.prime(iq[:, : sr._n_fe])
+    clean_tail = 0
+    for t in range(T):
+        blk = cplx.from_np(
+            iq[:, sr._n_fe + t * sr.n_in: sr._n_fe + (t + 1) * sr.n_in]
+        ).astype(np.float32)
+        state, kbytes, stats = sr.step(state, jnp.asarray(blk))
+        idx = _match(ref_bb, np.asarray(kbytes))
+        if -1 not in idx[0] and bool(np.asarray(stats["coarse_corrected"])[0]):
+            clean_tail += 1
+        else:
+            clean_tail = 0
+    assert clean_tail >= 3, "did not settle to bit-exact decode under CFO"
+    cum = float(np.asarray(stats["cum_foffset"])[0])
+    assert abs(cum - 2e-3) < 1e-4, cum  # per-symbol offset = sps * 1e-3
+
+
+def test_stream_sharded_matches_single_device():
+    """The channel-sharded step decodes the same bytes as the unsharded one
+    on the 8-virtual-device CPU mesh."""
+    from dvbs2rx_tpu.parallel.batch import make_channel_mesh
+
+    C, F, T = 8, 2, 2
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = RxConfig(modcod=MODCOD, frame_size=FRAME, sym_sync_impl="ffw",
+                   fec_batch=C * F)
+    mesh = make_channel_mesh(devices[:8])
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F, mesh=mesh)
+    iq, ref_bb = _stimulus(sr, T, seed=4)
+    frames, stats = _run(sr, iq, T)
+    for kb in frames:
+        idx = _match(ref_bb, kb)
+        for c in range(C):
+            assert -1 not in idx[c], f"sharded decode not bit-exact: {idx}"
+    assert int(stats["bch_errors"]) == 0
