@@ -67,6 +67,285 @@ def chain_time(f1, fK, *args):
     return max((tk - t1) / (K - 1), 1e-9), t1
 
 
+def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
+    """Sustained wall-clock IQ->TS throughput through the streaming host
+    loop (VERDICT r1 item 3: prove the host can keep the device fed).
+
+    Uses the device-resident ``StreamReceiver`` step: all carry state lives
+    on device (donated), so the host submits steps back-to-back and the
+    24 ms tunnel dispatch latency pipelines away. The IQ source is a
+    periodic waveform staged in HBM once (the host->device tunnel of this
+    environment moves 0.05 GB/s — three orders below a real TPU host's
+    PCIe — so host-fed IQ is measured separately as ``h2d_msps``). Two
+    figures:
+
+    - ``sustained_msps``: steps chained with LAGged readback of every
+      decoded BBFRAME batch + native TS stitching of all C channels on the
+      host (overlapping device compute), i.e. bytes actually delivered.
+    - ``sustained_device_msps``: same loop, outputs consumed on device
+      (one final readback) — the pipeline-only sustained rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.rx.stream import StreamReceiver
+    from dvbs2rx_tpu.spec.bb_frame import BBFrameParser
+    from dvbs2rx_tpu.spec.scramblers import bb_derandomizer_bytes
+    from dvbs2rx_tpu.ops import cplx
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal",
+                   sym_sync_impl="ffw", fec_batch=C * F)
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    n_in = sr.n_in
+
+    # ---- periodic stimulus: T_WRAP steps of frames, cyclically pulse-
+    # shaped so the wrap point is seamless (tile symbols x3, keep middle)
+    T_WRAP = 2
+    txc = TxConfig(modcod="qpsk1/2", frame_size="normal", sps=2,
+                   rolloff=cfg.rolloff)
+    tx = Transmitter(txc)
+    per_frames = T_WRAP * F
+    rng = np.random.default_rng(7)
+    n_pkts = (per_frames * tx.df_bytes) // 188
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    syms = tx.modulate_ts(pkts.reshape(-1))[: per_frames * sr.frame_len]
+    wave3 = tx.pulse_shape(np.tile(syms, 3))
+    period = per_frames * sr.frame_len * cfg.sps
+    mid = wave3[period: 2 * period]
+    esn0 = 10 ** (esn0_db / 10)
+    noise = rng.normal(0, np.sqrt(1 / esn0 / 2), (period, 2))
+    wave = (mid + noise @ np.array([1, 1j])).astype(np.complex64)
+
+    # prime from the (wrapped) head of the stream
+    prefix = np.resize(wave, sr._n_fe + 8)[: sr._n_fe]
+    state = sr.prime(np.stack([prefix] * C))
+    # after prime, the next input sample is index n_fe (mod period)
+    off0 = sr._n_fe % period
+    src_np = cplx.from_np(
+        np.stack([
+            np.resize(np.roll(wave, -off0), (T_WRAP * n_in,))[
+                t * n_in: (t + 1) * n_in
+            ]
+            for t in range(T_WRAP)
+        ])
+    ).astype(np.float32)
+    src = jax.device_put(jnp.asarray(src_np))          # (T_WRAP, n_in, 2)
+
+    @jax.jit
+    def step_i(state, i):
+        blk = jax.lax.dynamic_index_in_dim(
+            src, i % T_WRAP, keepdims=False
+        )
+        iq = jnp.broadcast_to(blk[None], (C, n_in, 2))
+        return sr.raw_step(state, iq)
+
+    # warmup + honest-blocking readback
+    for w in range(2):
+        state, kb, stats = step_i(state, jnp.int32(w))
+    errs0 = int(stats["bch_errors"])
+    kb0 = np.asarray(kb)
+
+    scr = bb_derandomizer_bytes(cfg.fec.kbch // 8)
+    parsers = [BBFrameParser(cfg.fec.kbch) for _ in range(C)]
+
+    def stitch(kb_np):
+        n = 0
+        for c in range(C):
+            for f in range(F):
+                n += parsers[c].push(kb_np[c, f] ^ scr).size
+        return n
+
+    stitch(kb0)
+
+    # ---- policy A: chained steps + lagged readback + TS stitch ----
+    outs = []
+    ts_bytes = 0
+    t0 = time.perf_counter()
+    for i in range(W):
+        state, kb, stats = step_i(state, jnp.int32(2 + i))
+        outs.append(kb)
+        if i >= LAG:
+            ts_bytes += stitch(np.asarray(outs[i - LAG]))
+            outs[i - LAG] = None
+    for j in range(W - LAG, W):
+        ts_bytes += stitch(np.asarray(outs[j]))
+    t_a = time.perf_counter() - t0
+
+    # ---- policy B: device-only consumption ----
+    t0 = time.perf_counter()
+    for i in range(W):
+        state, kb, stats = step_i(state, jnp.int32(2 + W + i))
+    errs = int(stats["bch_errors"])          # forces the chain
+    t_b = time.perf_counter() - t0
+
+    # ---- host->device feed ceiling of THIS environment's tunnel ----
+    blk_np = np.asarray(src_np[0])
+    jax.block_until_ready(jax.device_put(blk_np))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(blk_np))
+    t_h2d = (time.perf_counter() - t0) / 3
+
+    samples = W * C * n_in
+    return {
+        "sustained_msps": round(samples / t_a / 1e6, 1),
+        "sustained_device_msps": round(samples / t_b / 1e6, 1),
+        "sustained_steps": W,
+        "sustained_ts_bytes": int(ts_bytes),
+        "sustained_bch_errors": errs0 + errs,
+        "h2d_msps_per_channel": round(n_in / t_h2d / 1e6, 2),
+        "sustained_note": (
+            "device-staged periodic IQ source; h2d_msps_per_channel is the "
+            "tunnel feed ceiling of this environment (0.05 GB/s), not a "
+            "property of the receiver"
+        ),
+    }
+
+
+def measure_acm(esn0_db=6.0):
+    """ACM steady-state device compute (VERDICT r1 item 1).
+
+    Measures the windowed ACM pipeline's per-stage device compute with the
+    same fused K-chain methodology as the CCM figure, on a single-MODCOD
+    QPSK 1/2 normal stream. Steady-state dispatch pattern per group-sized
+    window (frame_group frames): dense timing metric + batched window PLSC
+    decode + one per-PLS frame-group program + per-PLS FEC batch.
+    ``acm_msps`` is per STREAM (the ACM host pipeline is single-channel;
+    compare against the CCM per-channel figure = value/64).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.rx.receiver import ACMReceiver, RxConfig
+    from dvbs2rx_tpu.ops import cplx
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig
+
+    F0 = 4
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
+                   fec_batch=F0, frame_group=F0)
+    rx = ACMReceiver(cfg)
+    W = rx._win_len
+    L = cfg.pls_info.plframe_len
+    Lp = cfg.pls_info.payload_len
+    sps = cfg.sps
+
+    tx = Transmitter(TxConfig(modcod="qpsk1/2", frame_size="normal"))
+    rng = np.random.default_rng(3)
+    n_pkts = ((F0 + 3) * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    syms = tx.modulate_ts(pkts.reshape(-1))
+    esn0 = 10 ** (esn0_db / 10)
+    noisy = (
+        syms + rng.normal(0, np.sqrt(1 / esn0 / 2), (syms.size, 2))
+        @ np.array([1, 1j])
+    ).astype(np.complex64)
+    win = np.resize(noisy, W)
+    dev = jax.device_put(jnp.asarray(cplx.from_np(win)))
+
+    K = 17
+
+    def chain(f_one, *args):
+        @jax.jit
+        def many(*a):
+            def body(eps, _):
+                out = f_one(a[0] + eps, *a[1:])
+                leaf = jax.tree.leaves(out)[0]
+                return (jnp.sum(leaf[..., :1].astype(jnp.float32)) % 2
+                        ) * 1e-12, None
+            eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return eps
+        one = jax.jit(lambda *a: f_one(*a))
+        return chain_time_k(one, many, K, *args)
+
+    def chain_time_k(f1, fk, k, *args):
+        import jax as _j
+        _j.block_until_ready(f1(*args))
+        _j.block_until_ready(fk(*args))
+
+        def t(f):
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                _j.block_until_ready(f(*args))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return max((t(fk) - t(f1)) / (k - 1), 1e-9)
+
+    # stage A: dense SOF/PLSC timing metric over the window
+    t_metric = chain(rx._acq_impl, dev)
+
+    # stage B: batched window PLSC decode (C candidates)
+    C = W // 3330 + 3
+    sofs = jnp.asarray(
+        np.arange(C, dtype=np.int32) % max(W - 90, 1)
+    )
+    t_plsc = chain(
+        lambda d, s: rx._win_plsc_impl(d, s, jnp.float32(0.0),
+                                       jnp.asarray(False)),
+        dev, sofs,
+    )
+
+    # stage C: per-PLS frame group (F0 frames + next header)
+    pls = cfg.pls
+    hidx = np.arange(F0 + 1)[:, None] * L + np.arange(90)[None, :]
+    headers = jnp.asarray(cplx.from_np(win[hidx]))
+    pidx = 90 + np.arange(F0)[:, None] * L + np.arange(Lp)[None, :]
+    payloads = jnp.asarray(cplx.from_np(win[pidx]))
+    gfn = rx._acm_group(pls)
+    t_group = chain(
+        lambda h, p: gfn(h, jnp.int32(pls), p, jnp.asarray(True),
+                         jnp.float32(0.0)),
+        headers, payloads,
+    )
+
+    # stage D: per-PLS FEC batch (hard int8 input; chain via +eps on a
+    # FLOAT carry is unsafe for int8 LLRs — perturb by xor of a 0/1 int)
+    out = gfn(headers, jnp.int32(pls), payloads, jnp.asarray(True),
+              jnp.float32(0.0))
+    llrs = out["llrs"]
+    res = rx._resources(pls)
+    ldpc, bch, fec = res["ldpc"], res["bch"], res["fec"]
+
+    def fec_one(llrs):
+        hard, _, iters, ok = ldpc._decode_impl(llrs)
+        corrected, n_corr = bch._decode_impl(hard[:, : fec.nbch])
+        return corrected, n_corr
+
+    @jax.jit
+    def fec_many(llrs):
+        def body(eps, _):
+            corrected, n_corr = fec_one(
+                (llrs + eps).astype(jnp.int8)
+            )
+            return (jnp.sum(n_corr) % 2).astype(jnp.int8), None
+        eps, _ = jax.lax.scan(body, jnp.int8(0), None, length=K)
+        return eps
+
+    t_fec = chain_time_k(jax.jit(fec_one), fec_many, K, llrs)
+
+    t_window = t_metric + t_plsc + t_group + t_fec
+    samples = F0 * L * sps
+    acm_msps = samples / t_window / 1e6
+    n_corr = np.asarray(fec_one(llrs)[1])
+    return {
+        "acm_msps_per_stream": round(acm_msps, 1),
+        "acm_t_metric_s": round(t_metric, 6),
+        "acm_t_plsc_s": round(t_plsc, 6),
+        "acm_t_group_s": round(t_group, 6),
+        "acm_t_fec_s": round(t_fec, 6),
+        "acm_window_syms": W,
+        "acm_bch_errors": int(np.sum(n_corr < 0)),
+        "acm_note": (
+            "single-stream windowed ACM pipeline (group-sized window); "
+            "compare with the CCM per-channel figure (value / channels)"
+        ),
+    }
+
+
 def main():
     from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
 
@@ -193,6 +472,9 @@ def main():
     )
     msamps = 1.0 / t_per_sample / 1e6
 
+    sustained = measure_sustained()
+    acm = measure_acm()
+
     result = {
         "metric": "iq_to_ts_throughput",
         "value": round(msamps, 3),
@@ -216,6 +498,8 @@ def main():
             "post_fec_ber": ber,
             "bch_frame_errors": bch_errors,
             "timing": "fused data-dependent K-chain (see module docstring)",
+            **sustained,
+            **acm,
         },
     }
     print(json.dumps(result))

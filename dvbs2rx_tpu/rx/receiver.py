@@ -885,12 +885,17 @@ class ACMReceiver(Receiver):
             )
         self._plsc_search_mask[:4] = True
         # Window sizing: the chain walk needs frame k plus header k+1 inside
-        # one window, so the window must cover the longest PLFRAME the
-        # stream can carry. Seed from the a-priori PLS knowledge and grow
-        # lazily if a longer frame is decoded (jits retrace per shape).
+        # one window, so the window must AT LEAST cover the longest PLFRAME
+        # the stream can carry (grown lazily if a longer frame is decoded —
+        # jits retrace per shape). Seed it to cover a full ``frame_group``
+        # of the longest a-priori frames: a window that fits only one frame
+        # pays the dense metric + PLSC dispatch per frame AND pads every
+        # per-PLS group program F0:1, while a group-sized window amortizes
+        # both (the dense metric cost is linear in W, so per-symbol cost is
+        # unchanged).
         seeds = {cfg.pls} | set(cfg.pls_list) | set(cfg.pls_expected)
         lmax = max(parse_pls(p).plframe_len for p in seeds)
-        self._win_len = self._round_win(lmax)
+        self._win_len = self._round_win(cfg.frame_group * lmax)
         self._win_plsc = jax.jit(self._win_plsc_impl)
         self._group_jits = {}
         self._pls_resources = {}

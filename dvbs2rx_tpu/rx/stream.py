@@ -80,6 +80,7 @@ class StreamReceiver:
         self._lane = make_lane_fn(cfg, self._rx._descr_np)
 
         step = self._build_step()
+        self.raw_step = step      # unjitted, for composition (bench source)
         if mesh is not None:
             def leaf_spec(x):
                 # channel-led arrays shard over "ch"; scalar aggregates
