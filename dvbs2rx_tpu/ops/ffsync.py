@@ -41,6 +41,11 @@ from .pallas_fir import mf_decimate, mf_segmented
 # timing-drift rate bound, in input samples per output symbol
 MAX_RATE = 2.5e-4
 
+# sub-window size (input samples) for the windowed rate measurement; the
+# adjacent-window drift at MAX_RATE is 2.5e-4 * 2048 sym = 0.51 samples,
+# safely inside the +-sps/2 = 1 sample unwrap range at sps=2
+WIN_SAMP = 4096
+
 
 def _halfband_taps(n_taps=23):
     """Half-band lowpass for 2x interpolation (odd length, zero at even lags)."""
@@ -72,8 +77,8 @@ class FeedForwardSync:
     """
 
     def __init__(self, sps=2, rolloff=0.2, rrc_delay=5, n_subfilt=128,
-                 smooth=0.5, rate_gain=0.3, est_window=16384, n_segments=16,
-                 use_pallas=False, max_block=40000):
+                 smooth=0.5, rate_gain=0.15, est_window=16384, n_segments=16,
+                 use_pallas=False, max_block=40000, mf_precision="default"):
         if sps != 2:
             raise ValueError("FeedForwardSync currently supports sps=2")
         self.sps = sps
@@ -87,9 +92,14 @@ class FeedForwardSync:
         # (64 ch x 32768 sym, 37-tap) hot shape on TPU v5e. XLA maps the
         # strided FIR onto the MXU; the Pallas kernel is VPU-bound and pays
         # ~2 lane-rotates per tap. Off by default on measurement, not on a
-        # compile failure (the conv fallback now runs f32 HIGHEST, fixing
-        # the bf16 default-precision error floor found during the A/B).
+        # compile failure. mf_precision controls the conv fallback's
+        # multiply passes (pallas_fir.mf_segmented docstring): "default"
+        # single-pass bf16 is ~2x faster on the front end and its ~-48 dB
+        # error floor sits ~40 dB below the noise at every DVB-S2 operating
+        # point (post-LDPC BER A/B in docs/mf_precision_ab.json); "highest"
+        # restores the round-2 exact-f32 pin.
         self.use_pallas = use_pallas
+        self.mf_precision = mf_precision
         bank, self.subfilt_len, self.subfilt_delay = polyphase_rrc_bank(
             sps, rolloff, rrc_delay, n_subfilt
         )
@@ -121,23 +131,24 @@ class FeedForwardSync:
 
     # ---------- internals ----------
 
-    def _estimate_tau(self, samples):
-        """O&M estimate in input-sample units, range [0, sps).
+    def _om_terms(self, samples):
+        """Per-sample O&M correlator contributions (c_re, c_im).
 
         The IQ signal (bandwidth (1+alpha)/2T < 1/T) is first interpolated to
         4/T — the squared envelope's timing tone at 1/T sits exactly at the
         2/T Nyquist edge and must be created *after* resampling, not before
-        (|x|^2 at 2/T aliases). The estimate reads the average position over
-        the window, i.e. the position at the window center.
+        (|x|^2 at 2/T aliases). Polyphase decomposition of the half-band
+        interpolator: odd taps vanish except the center (half-band property),
+        so the even output branch is just the input scaled by the center tap,
+        and the odd branch is one short convolution at the INPUT rate — no
+        zero-stuff scatter, no 2x-rate convolution. Correlating |x4|^2 with
+        e^{-j 2 pi n / 4}, the even branch lands on the +-1 (real) pattern
+        and the odd branch on the -+j (imag) pattern; the 4/T-rate odd sample
+        between x[k] and x[k+1] is o[k+1] (the "same"-mode conv of the
+        even-tap polyphase lags by one input sample), hence the (-1)^n sign
+        on both branches. Summing c_re/c_im over any window and taking
+        -angle/(2 pi) yields tau (symbol fractions) averaged over the window.
         """
-        # a subwindow is ample for the estimate (variance ~ 1/N) and halves
-        # the front-end cost on large blocks
-        samples = samples[: self.est_window]
-        # Polyphase decomposition of the half-band interpolator: odd taps
-        # vanish except the center (half-band property), so the even output
-        # branch is just the input scaled by the center tap, and the odd
-        # branch is one short convolution at the INPUT rate — no zero-stuff
-        # scatter, no 2x-rate convolution.
         hb = self._hb
         c = hb.shape[0] // 2
         center = np.float32(hb[c])
@@ -147,16 +158,50 @@ class FeedForwardSync:
         o_re = jnp.convolve(x_re, hb_even, mode="same")
         o_im = jnp.convolve(x_im, hb_even, mode="same")
         sq_odd = o_re * o_re + o_im * o_im
-        # correlate |x4|^2 with e^{-j 2 pi n / 4}: the even branch lands on
-        # the +-1 (real) pattern, the odd branch on the -+j (imag) pattern.
-        # The 4/T-rate odd sample between x[k] and x[k+1] is o[k+1] (the
-        # "same"-mode conv of the even-tap polyphase lags by one input
-        # sample), hence the shifted parity slices below.
-        re = jnp.sum(sq_even[0::2]) - jnp.sum(sq_even[1::2])
-        im = jnp.sum(sq_odd[2::2]) - jnp.sum(sq_odd[1::2])
-        # tau in symbol fractions: -angle/(2 pi); in input samples: * sps
-        tau_sym = -jnp.arctan2(im, re) / (2 * jnp.pi)
+        n = x_re.shape[0]
+        sign = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+        return sq_even * sign, sq_odd * sign
+
+    def _estimate_tau(self, samples):
+        """Single-window O&M estimate in input samples, range [0, sps)."""
+        # a subwindow is ample for the estimate (variance ~ 1/N) and halves
+        # the front-end cost on large blocks
+        c_re, c_im = self._om_terms(samples[: self.est_window])
+        tau_sym = -jnp.arctan2(jnp.sum(c_im), jnp.sum(c_re)) / (2 * jnp.pi)
         return (tau_sym * self.sps) % self.sps
+
+    def _estimate_timing_multi(self, samples):
+        """Windowed O&M: position at block start AND a direct rate measure.
+
+        The position-only estimate is modular (one symbol period), so a rate
+        derived from its block-to-block innovation has a pull-in range of
+        sps/2 per block — a few ppm at normal-FECFRAME block sizes, far less
+        than MAX_RATE. Instead, measure tau per WIN_SAMP-sample sub-window,
+        unwrap the per-window sequence (adjacent windows drift at most
+        MAX_RATE * win_sym = 0.51 samples, inside the unwrap range), and
+        least-squares fit slope + intercept: the slope is a direct
+        input-samples-per-symbol rate measurement whose pull-in covers the
+        whole clamp range, and the intercept is the position at block start
+        (still modulo sps; the tracking loop unwraps it).
+        """
+        n = samples.shape[0]
+        W = n // WIN_SAMP
+        m = W * WIN_SAMP
+        c_re, c_im = self._om_terms(samples[:m])
+        re_w = jnp.sum(c_re.reshape(W, -1), axis=1)
+        im_w = jnp.sum(c_im.reshape(W, -1), axis=1)
+        tau_w = (-jnp.arctan2(im_w, re_w) / (2 * jnp.pi)) * self.sps
+        sps = self.sps
+        d = jnp.mod(tau_w[1:] - tau_w[:-1] + sps / 2, sps) - sps / 2
+        t_un = jnp.concatenate([jnp.zeros((1,), tau_w.dtype), jnp.cumsum(d)])
+        wc = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (WIN_SAMP / sps)
+        wbar = jnp.mean(wc)
+        tbar = jnp.mean(t_un)
+        slope = jnp.sum((wc - wbar) * (t_un - tbar)) / jnp.sum(
+            (wc - wbar) ** 2
+        )
+        tau0 = jnp.mod(tau_w[0] + tbar - slope * wbar, sps)
+        return tau0, slope
 
     def _segments(self, n_out: int) -> int:
         """Largest divisor of n_out within the configured segment count (the
@@ -185,27 +230,54 @@ class FeedForwardSync:
         seg_len = n_out // S
         n_samp = samples.shape[0]
 
-        tau_meas = self._estimate_tau(samples)
-        # symbol index at the measurement window center
-        c_sym = min(self.est_window, n_samp) / (2.0 * sps)
-
-        # ---- alpha-beta tracking: position at block start + drift rate ----
-        # The measurement is only known modulo one symbol period; unwrap the
-        # innovation against the prediction at the window center.
-        pred_c = state.tau + state.rate * c_sym
-        innov = jnp.mod(tau_meas - pred_c + sps / 2, sps) - sps / 2
-        tau0 = jnp.where(
-            state.initialized > 0, state.tau + self.smooth * innov, tau_meas
-        )
-        rate = jnp.where(
-            state.initialized > 0,
-            jnp.clip(
-                state.rate + self.rate_gain * innov / c_sym,
-                -MAX_RATE,
-                MAX_RATE,
-            ),
-            0.0,
-        )
+        # ---- timing tracking: position at block start + drift rate ----
+        # Rate stability/pull-in (the round-2 StreamReceiver collapse): a
+        # rate driven by the MODULAR position innovation either destabilizes
+        # (innovation normalized by the measurement-window center: feedback
+        # gain scales with n_out, eigenvalue |lambda|=3.5 at normal-frame
+        # blocks, rails MAX_RATE in 2-3 steps) or cannot pull in (normalized
+        # by n_out: the per-block drift of an initial clock-offset error
+        # aliases past the +-sps/2 unwrap range). Large blocks therefore
+        # measure the rate DIRECTLY via the windowed-O&M slope fit, whose
+        # pull-in covers the whole clamp; tiny blocks (too few windows for a
+        # fit) keep the innovation-based update, where the per-block
+        # normalization is both stable (|lambda|~=0.70 at smooth=0.5,
+        # rate_gain=0.15) and inside its sps/(2*n_out) pull-in range.
+        if n_samp // WIN_SAMP >= 4:
+            tau_meas, rate_meas = self._estimate_timing_multi(samples)
+            rate_meas = jnp.clip(rate_meas, -MAX_RATE, MAX_RATE)
+            rate = jnp.where(
+                state.initialized > 0,
+                state.rate + self.rate_gain * (rate_meas - state.rate),
+                rate_meas,
+            )
+            # position measured at block start: predict with the carry alone
+            innov = jnp.mod(tau_meas - state.tau + sps / 2, sps) - sps / 2
+            tau0 = jnp.where(
+                state.initialized > 0,
+                state.tau + self.smooth * innov,
+                tau_meas,
+            )
+        else:
+            tau_meas = self._estimate_tau(samples)
+            # symbol index at the measurement window center
+            c_sym = min(self.est_window, n_samp) / (2.0 * sps)
+            pred_c = state.tau + state.rate * c_sym
+            innov = jnp.mod(tau_meas - pred_c + sps / 2, sps) - sps / 2
+            tau0 = jnp.where(
+                state.initialized > 0,
+                state.tau + self.smooth * innov,
+                tau_meas,
+            )
+            rate = jnp.where(
+                state.initialized > 0,
+                jnp.clip(
+                    state.rate + self.rate_gain * innov / n_out,
+                    -MAX_RATE,
+                    MAX_RATE,
+                ),
+                0.0,
+            )
 
         # ---- segmented polyphase extraction ----
         # Position of output symbol k: pos(k) = tau0 + rate*k (residual on
@@ -272,10 +344,12 @@ class FeedForwardSync:
             n_samp = samples.shape[0]
             start = jnp.clip(off_seg[0], 0, n_samp - n_out * sps - L)
             return mf_decimate(samples, taps_seg[0], start, sps, n_out,
-                               use_pallas=self.use_pallas)
+                               use_pallas=self.use_pallas,
+                               precision=self.mf_precision)
         return mf_segmented(
             samples[None], taps_seg[None], off_seg[None], sps, n_out // S,
             self._off, use_pallas=self.use_pallas,
+            precision=self.mf_precision,
         )[0]
 
     def _step_impl(self, state: FFSyncState, samples, n_out: int):
@@ -303,6 +377,7 @@ class FeedForwardSync:
             syms = mf_segmented(
                 samples, taps_seg, off_seg, self.sps, n_out // S,
                 self._off, use_pallas=self.use_pallas,
+                precision=self.mf_precision,
             )
         return new_states, syms, consumed
 

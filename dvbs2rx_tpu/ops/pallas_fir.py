@@ -149,8 +149,8 @@ def _mf_pallas(a, b, ta, tb, seg_tiles, interpret=False):
         functools.partial(_seg_kernel, m_ext=M, seg_tiles=seg_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # A stream stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # B stream stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # A stream stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # B stream stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # taps: tiny, whole array
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -173,16 +173,39 @@ def _phase_tap_split(taps_ext):
     return taps_ext[..., 0::2], taps_ext[..., 1::2]
 
 
+PRECISIONS = ("default", "high", "highest")
+
+
+def _prec(name):
+    import jax
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
 def mf_segmented(samples, taps_seg, base_seg, sps, seg_len, off_bound,
-                 use_pallas=True, interpret=False):
+                 use_pallas=True, interpret=False, precision="default"):
     """Batched segmented decimating matched filter.
 
     samples: (C, n, 2) f32; taps_seg: (C, S, L); base_seg: (C, S) int32
     whole-sample extraction offsets in [0, off_bound] (window s starts at
     sample ``s*seg_len*sps + base_seg[c, s]``). Returns (C, S*seg_len, 2).
+    CONTRACT: a traced ``base_seg`` outside [0, off_bound] is silently
+    clipped into range on the Pallas path (the offset folds into extended
+    taps via a one-hot bounded by off_bound); keep base_seg in range or the
+    two paths of this API diverge numerically.
 
     Pallas path requires sps == 2 and seg_len % TILE == 0; falls back to a
     grouped-convolution XLA lowering otherwise (same math).
+
+    ``precision`` controls the XLA conv fallback's multiply passes on TPU:
+    "default" = single-pass bf16 (fast; ~-48 dB error floor, measured
+    ~40 dB below the noise at every DVB-S2 operating point — see
+    docs/mf_precision_ab.json), "high" = 3-pass, "highest" = 6-pass exact
+    f32 (2x front-end cost; the round-2 pin that regressed the CCM
+    headline 32%). The Pallas path is exact f32 regardless.
     """
     C, n, _ = samples.shape
     S, L = taps_seg.shape[1], taps_seg.shape[2]
@@ -195,8 +218,10 @@ def mf_segmented(samples, taps_seg, base_seg, sps, seg_len, off_bound,
         and sps == 2
         and seg_len % TILE == 0
         and (K + 1) // 2 + 2 <= PAD
-        # caller contract: every extraction window fits in the input
-        and n >= (n_out - 1) * sps + K
+        # caller contract: every extraction window fits in the input;
+        # gate on the DEINTERLEAVED length (odd n loses its last sample
+        # to _phase_split, so n alone is one sample optimistic)
+        and 2 * (n // 2) >= (n_out - 1) * sps + K
     )
     if ok:
         # pad the phase streams so the fixed (TILE + PAD) DMA windows have
@@ -230,10 +255,7 @@ def mf_segmented(samples, taps_seg, base_seg, sps, seg_len, off_bound,
             padding="VALID",
             dimension_numbers=("NCW", "OIW", "NCW"),
             feature_group_count=S,
-            # full f32: TPU convs default to bf16 multiplies, which puts a
-            # ~-48 dB error floor under the matched filter (the Pallas
-            # kernel is exact f32; keep the fallback equivalent)
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_prec(precision),
         )                                             # (2, S, seg_len)
         return out.transpose(1, 2, 0).reshape(n_out, 2)
 
@@ -242,13 +264,15 @@ def mf_segmented(samples, taps_seg, base_seg, sps, seg_len, off_bound,
 
 
 def mf_decimate(samples, taps, base, sps, n_out, use_pallas=True,
-                off_bound=None, interpret=False):
+                off_bound=None, interpret=False, precision="default"):
     """y[k] = sum_l samples[base + k*sps + l] * taps[l], k in [0, n_out).
 
     samples: (n, 2) f32; taps: (L,) f32; base: traced int32. When the
     caller can statically bound ``base <= off_bound`` the Pallas path
-    applies (the offset folds into extended taps — see module docstring);
-    otherwise the XLA convolution fallback handles arbitrary ``base``.
+    applies (the offset folds into extended taps — see module docstring)
+    and a traced ``base`` that exceeds the bound is silently CLIPPED to it;
+    without ``off_bound`` the XLA convolution fallback handles arbitrary
+    ``base`` exactly.
     """
     L = taps.shape[0]
     if (
@@ -258,19 +282,19 @@ def mf_decimate(samples, taps, base, sps, n_out, use_pallas=True,
         and off_bound is not None
         and n_out % TILE == 0
         and (L + off_bound + 1) // 2 + 2 <= PAD
-        and samples.shape[0] >= (n_out - 1) * sps + L + off_bound
+        and 2 * (samples.shape[0] // 2) >= (n_out - 1) * sps + L + off_bound
     ):
         out = mf_segmented(
             samples[None], taps[None, None, :], base[None, None], sps,
             n_out, off_bound, use_pallas=True, interpret=interpret,
         )
         return out[0]
-    # XLA fallback: convolution + strided slice (full f32 — see above)
+    # XLA fallback: convolution + strided slice (precision: see mf_segmented)
     tr = taps[::-1]
     y_re = jnp.convolve(samples[:, 0], tr, mode="valid",
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_prec(precision))
     y_im = jnp.convolve(samples[:, 1], tr, mode="valid",
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_prec(precision))
     seg_re = jax.lax.dynamic_slice_in_dim(y_re, base, n_out * sps)
     seg_im = jax.lax.dynamic_slice_in_dim(y_im, base, n_out * sps)
     return jnp.stack(

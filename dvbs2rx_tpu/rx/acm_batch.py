@@ -1,0 +1,292 @@
+"""Multi-channel batched ACM/VCM receiver.
+
+The reference's ``plsync_cc`` is strictly per-stream — a 64-channel ACM
+workload runs its scalar chain 64 times (``lib/plsync_cc_impl.cc:805-955``).
+The TPU-first win (VERDICT r2 item 7): ACM control flow is data-dependent
+per channel (each channel's decoded-PLS chain walk decides its own frame
+boundaries), but the DEVICE work — dense timing metric, batched PLSC
+decode, per-PLS frame-group programs, per-PLS FEC — is shape-identical
+across channels and batches on a channel axis.
+
+Design: each channel keeps its own ``ACMReceiver`` (host chain walk, lock
+state, frequency tracking — cheap Python), and the channels run in lockstep
+worker threads. Every jitted device entry point is routed through a
+``CallBatcher``: when all live threads are blocked on a device request, the
+pending requests are grouped by (kind, pls, shapes) and dispatched as ONE
+vmapped call; each thread then resumes with its slice. Per-channel results
+are bit-identical to the unbatched receivers (the batcher only changes HOW
+calls are dispatched, never their math), which ``tests/test_acm_vcm.py``
+asserts.
+
+Dispatch批 granularity: with C channels in the same pipeline stage (the
+common case — lockstep input), each stage runs once per C channels instead
+of C times, and the batch axis feeds the MXU/VPU with C-fold wider work.
+"""
+
+import threading
+
+import jax
+import numpy as np
+
+from .receiver import ACMReceiver, RxConfig
+
+
+class CallBatcher:
+    """Barrier-batches identical device calls from lockstep worker threads.
+
+    ``run(fns)`` executes the callables in worker threads. Inside them,
+    ``submit(key, batch_fn, args)`` blocks until either every live thread
+    is blocked in ``submit`` (then all pending requests flush: same-key
+    requests stack into one ``batch_fn`` call) or the flush is performed by
+    a finishing thread. ``batch_fn`` receives a list of arg tuples and must
+    return a list of results in the same order.
+    """
+
+    def __init__(self):
+        self._cv = threading.Condition()
+        self._active = 0
+        self._waiting = 0
+        self._pending = []        # (key, batch_fn, args, slot)
+
+    # -- worker-side --
+
+    def submit(self, key, batch_fn, args):
+        slot = {}
+        with self._cv:
+            self._pending.append((key, batch_fn, args, slot))
+            self._waiting += 1
+            if self._waiting >= self._active:
+                self._flush_locked()
+            else:
+                while "out" not in slot and "err" not in slot:
+                    self._cv.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _flush_locked(self):
+        """Dispatch all pending requests, grouped by key. Caller holds the
+        lock; every other live thread is blocked, so executing under the
+        lock is safe (and keeps the bookkeeping trivial)."""
+        batch = self._pending
+        self._pending = []
+        self._waiting -= len(batch)
+        groups = {}
+        for item in batch:
+            groups.setdefault(item[0], []).append(item)
+        for key, items in groups.items():
+            batch_fn = items[0][1]
+            try:
+                outs = batch_fn([it[2] for it in items])
+                for it, out in zip(items, outs):
+                    it[3]["out"] = out
+            except BaseException as e:  # propagate to every submitter
+                for it in items:
+                    it[3]["err"] = e
+        self._cv.notify_all()
+
+    # -- driver-side --
+
+    def run(self, fns):
+        """Run the callables in threads; returns their results in order."""
+        n = len(fns)
+        results = [None] * n
+        errors = [None] * n
+        with self._cv:
+            self._active = n
+
+        def work(i):
+            try:
+                results[i] = fns[i]()
+            except BaseException as e:
+                errors[i] = e
+            finally:
+                with self._cv:
+                    self._active -= 1
+                    if self._pending and self._waiting >= self._active > 0:
+                        self._flush_locked()
+                    elif self._active == 0 and self._pending:
+                        # defensive: no thread left to consume; fail them
+                        for it in self._pending:
+                            it[3]["err"] = RuntimeError("batcher drained")
+                        self._pending = []
+                        self._cv.notify_all()
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for e in errors:
+            if e is not None:
+                raise e
+        return results
+
+
+def _stack(args_list):
+    """Stack a list of arg tuples leaf-wise along a new axis 0."""
+    return tuple(
+        jax.numpy.stack([a[i] for a in args_list])
+        for i in range(len(args_list[0]))
+    )
+
+
+class BatchedACMReceiver:
+    """C independent ACM/VCM channels with channel-batched device work.
+
+    ``receive(iq, flush)``: iq is (C, n) complex64 (each row one channel's
+    samples, lockstep); returns a list of per-channel TS byte arrays.
+    Per-channel decode results are identical to running C separate
+    ``ACMReceiver`` instances.
+    """
+
+    def __init__(self, cfg: RxConfig, n_channels: int):
+        assert cfg.acm_vcm
+        self.cfg = cfg
+        self.n_channels = n_channels
+        self.chans = [ACMReceiver(cfg) for _ in range(n_channels)]
+        self._batcher = CallBatcher()
+        self._vjits = {}          # (kind, key, nbatch) -> compiled vmap
+        self._jit_lock = threading.Lock()
+        proto = self.chans[0]
+        for ch in self.chans:
+            self._patch(ch, proto)
+
+    # -- batched dispatchers --
+
+    def _vjit(self, kind, key, nbatch, make_impl):
+        k = (kind, key, nbatch)
+        fn = self._vjits.get(k)
+        if fn is None:
+            with self._jit_lock:
+                fn = self._vjits.get(k)
+                if fn is None:
+                    fn = jax.jit(jax.vmap(make_impl()))
+                    self._vjits[k] = fn
+        return fn
+
+    def _batch_call(self, kind, key, make_impl, args_list):
+        n = len(args_list)
+        fn = self._vjit(kind, key, n, make_impl)
+        out = fn(*_stack(args_list))
+        return [jax.tree.map(lambda x: x[i], out) for i in range(n)]
+
+    def _patch(self, ch: ACMReceiver, proto: ACMReceiver):
+        batcher = self._batcher
+
+        acq_impl = proto._acq_impl
+
+        def acq_metric(dev):
+            return batcher.submit(
+                ("metric", dev.shape),
+                lambda al: self._batch_call(
+                    "metric", dev.shape, lambda: acq_impl, al
+                ),
+                (dev,),
+            )
+
+        ch._acq_metric = acq_metric
+
+        win_plsc_impl = proto._win_plsc_impl
+
+        def win_plsc(dev, sofs, foffset, apply_freq):
+            key = (dev.shape, sofs.shape)
+            return batcher.submit(
+                ("plsc", key),
+                lambda al: self._batch_call(
+                    "plsc", key, lambda: win_plsc_impl, al
+                ),
+                (dev, sofs, foffset, apply_freq),
+            )
+
+        ch._win_plsc = win_plsc
+
+        plsc_impl = proto._plsc_impl
+
+        def plsc_one(hdr_ext, foffset, apply_freq):
+            return batcher.submit(
+                ("plsc1", ()),
+                lambda al: self._batch_call(
+                    "plsc1", (), lambda: plsc_impl, al
+                ),
+                (hdr_ext, foffset, apply_freq),
+            )
+
+        ch._plsc_jit = plsc_one
+
+        def acm_group(pls):
+            make = lambda: proto._acm_group_impl(pls)  # noqa: E731
+
+            def call(headers, pls_next, payloads, cc, n0):
+                return batcher.submit(
+                    ("group", pls),
+                    lambda al: self._batch_call("group", pls, make, al),
+                    (headers, pls_next, payloads, cc, n0),
+                )
+
+            return call
+
+        ch._acm_group = acm_group
+
+        # FEC + refine: route the per-PLS jits in _group_jits through the
+        # batcher by pre-seeding the cache with proxy callables
+        gj = ch._group_jits
+        outer = self
+
+        class _ProxyJits(dict):
+            def get(self, key, default=None):
+                fn = dict.get(self, key)
+                if fn is not None:
+                    return fn
+                kind = key[0]
+                if kind == "fec":
+                    pls = key[1]
+                    make = lambda: proto._acm_fec_impl(pls)  # noqa: E731
+
+                    def fec_call(llrs):
+                        return batcher.submit(
+                            ("fec", pls),
+                            lambda al: outer._batch_call(
+                                "fec", pls, make, al
+                            ),
+                            (llrs,),
+                        )
+
+                    self[key] = fec_call
+                    return fec_call
+                if kind == "refine":
+                    pls = key[1]
+                    mk = lambda: proto._acm_refine_impl(pls)  # noqa: E731
+
+                    def refine_call(x, h):
+                        return batcher.submit(
+                            ("refine", pls),
+                            lambda al: outer._batch_call(
+                                "refine", pls, mk, al
+                            ),
+                            (x, h),
+                        )
+
+                    self[key] = refine_call
+                    return refine_call
+                return default
+
+        proxy = _ProxyJits()
+        proxy.update(gj)
+        ch._group_jits = proxy
+
+    # -- driver --
+
+    def receive(self, iq: np.ndarray, flush: bool = True):
+        iq = np.asarray(iq, dtype=np.complex64)
+        if iq.ndim != 2 or iq.shape[0] != self.n_channels:
+            raise ValueError(f"expected ({self.n_channels}, n) iq")
+        fns = [
+            (lambda c=c: self.chans[c].receive(iq[c], flush=flush))
+            for c in range(self.n_channels)
+        ]
+        return self._batcher.run(fns)
+
+    def get_stats(self, sym_rate=None):
+        """Per-channel nested stats (list, reference get_stats shape)."""
+        return [ch.get_stats(sym_rate) for ch in self.chans]

@@ -117,6 +117,9 @@ class RxConfig:
                                   # 0-3 are always searched. Distinct from
                                   # ``pls_list``: that filters the OUTPUT,
                                   # this narrows the DECODER.
+    mf_precision: str = "default"  # matched-filter conv precision on TPU
+                                  # ("default" bf16 / "high" / "highest"
+                                  # exact f32); see pallas_fir.mf_segmented
     plsc_mode: str = "coherent-soft"  # PLSC decode mode (reference
                                   # pl_signaling.cc:114-152): "coherent-soft"
                                   # (default), "coherent-hard", or
@@ -236,6 +239,7 @@ class Receiver:
                 rolloff=cfg.rolloff,
                 rrc_delay=cfg.rrc_delay,
                 n_subfilt=cfg.n_subfilt,
+                mf_precision=cfg.mf_precision,
             )
         else:
             raise ValueError(f"Unknown sym_sync_impl {cfg.sym_sync_impl!r}")
@@ -897,6 +901,10 @@ class ACMReceiver(Receiver):
         lmax = max(parse_pls(p).plframe_len for p in seeds)
         self._win_len = self._round_win(cfg.frame_group * lmax)
         self._win_plsc = jax.jit(self._win_plsc_impl)
+        # single-header decode for the weak-metric fallback in the chain
+        # walk (was referenced but never bound — a latent AttributeError on
+        # the first below-threshold expected header)
+        self._plsc_jit = jax.jit(self._plsc_impl)
         self._group_jits = {}
         self._pls_resources = {}
         self._curr_pls = None
@@ -1003,61 +1011,66 @@ class ACMReceiver(Receiver):
         full_r = plsync.coarse_autocorr(hdrs, pls, full=True)
         return pls, sof_r, full_r
 
+    def _acm_group_impl(self, pls: int):
+        """UNJITTED per-PLS frame-group program (F0 consecutive same-PLS
+        frames + the following header); ``_acm_group`` jits it, and the
+        batched multi-channel driver vmaps it over a channel axis."""
+        res = self._resources(pls)
+        info = res["info"]
+        F0 = self.cfg.frame_group
+        descr = jnp.asarray(res["descr"])
+
+        def impl(headers, pls_next, payloads, coarse_corrected,
+                 n0_override):
+            # headers (F0+1, 90, 2) — headers[F0] belongs to the NEXT
+            # frame (any PLS; only its data-aided phase is needed, so
+            # its true PLS indexes the conj-PLHEADER LUT)
+            plsv = jnp.concatenate([
+                jnp.full((F0,), pls, jnp.int32), pls_next[None]
+            ])
+            hdr_phase = plsync.plheader_phase(headers, plsv)
+            payloads_d = cplx.cmul(payloads, descr[None])
+            if info.has_pilots:
+                fine = plsync.fine_foffset_pilot_mode(
+                    headers[:F0], payloads_d, plsv[:F0], info.n_pilots
+                )
+                pil_ph = plsync.pilot_phases(payloads_d, info.n_pilots)
+                fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+                xfec = plsync.correct_payload_pilots(
+                    payloads_d, hdr_phase[:F0], pil_ph, fine_ff,
+                    info.n_slots, info.n_pilots,
+                )
+            else:
+                fine = plsync.fine_foffset_pilotless(
+                    hdr_phase[:F0], hdr_phase[1:], info.plframe_len
+                )
+                fine_ff = jnp.where(coarse_corrected, fine, 0.0)
+                xfec = plsync.correct_payload_pilotless(
+                    payloads_d, hdr_phase[:F0], fine_ff
+                )
+            if res["constellation"] == "QPSK":
+                snr_lin = estimate_snr_qpsk(xfec[0])
+            else:
+                snr_lin = estimate_snr_generic(
+                    xfec[0], res["constellation"], res["rate"]
+                )
+            n0_da = 1.0 / jnp.maximum(snr_lin, 1e-9)
+            n0 = jnp.where(n0_override > 0, n0_override, n0_da)
+            llrs = demap(
+                xfec, jnp.broadcast_to(n0, (F0,)),
+                res["constellation"], res["rate"],
+            )
+            return {"fine": fine, "n0": n0_da, "llrs": llrs,
+                    "xfec": xfec}
+
+        return impl
+
     def _acm_group(self, pls: int):
-        """Per-PLS batched frame-group program: F0 consecutive same-PLS
-        frames + the following header, compiled once per PLS."""
+        """Jitted per-PLS frame-group program, compiled once per PLS."""
         key = ("group", pls)
         fn = self._group_jits.get(key)
         if fn is None:
-            res = self._resources(pls)
-            info = res["info"]
-            F0 = self.cfg.frame_group
-            descr = jnp.asarray(res["descr"])
-
-            def impl(headers, pls_next, payloads, coarse_corrected,
-                     n0_override):
-                # headers (F0+1, 90, 2) — headers[F0] belongs to the NEXT
-                # frame (any PLS; only its data-aided phase is needed, so
-                # its true PLS indexes the conj-PLHEADER LUT)
-                plsv = jnp.concatenate([
-                    jnp.full((F0,), pls, jnp.int32), pls_next[None]
-                ])
-                hdr_phase = plsync.plheader_phase(headers, plsv)
-                payloads_d = cplx.cmul(payloads, descr[None])
-                if info.has_pilots:
-                    fine = plsync.fine_foffset_pilot_mode(
-                        headers[:F0], payloads_d, plsv[:F0], info.n_pilots
-                    )
-                    pil_ph = plsync.pilot_phases(payloads_d, info.n_pilots)
-                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
-                    xfec = plsync.correct_payload_pilots(
-                        payloads_d, hdr_phase[:F0], pil_ph, fine_ff,
-                        info.n_slots, info.n_pilots,
-                    )
-                else:
-                    fine = plsync.fine_foffset_pilotless(
-                        hdr_phase[:F0], hdr_phase[1:], info.plframe_len
-                    )
-                    fine_ff = jnp.where(coarse_corrected, fine, 0.0)
-                    xfec = plsync.correct_payload_pilotless(
-                        payloads_d, hdr_phase[:F0], fine_ff
-                    )
-                if res["constellation"] == "QPSK":
-                    snr_lin = estimate_snr_qpsk(xfec[0])
-                else:
-                    snr_lin = estimate_snr_generic(
-                        xfec[0], res["constellation"], res["rate"]
-                    )
-                n0_da = 1.0 / jnp.maximum(snr_lin, 1e-9)
-                n0 = jnp.where(n0_override > 0, n0_override, n0_da)
-                llrs = demap(
-                    xfec, jnp.broadcast_to(n0, (F0,)),
-                    res["constellation"], res["rate"],
-                )
-                return {"fine": fine, "n0": n0_da, "llrs": llrs,
-                        "xfec": xfec}
-
-            fn = jax.jit(impl)
+            fn = jax.jit(self._acm_group_impl(pls))
             self._group_jits[key] = fn
         return fn
 
@@ -1474,6 +1487,34 @@ class ACMReceiver(Receiver):
         finally:
             self._fec_flush = False
 
+    def _acm_fec_impl(self, pls: int):
+        """UNJITTED per-PLS FEC program (LDPC + BCH + bit pack); jitted by
+        ``_decode_acm_batch``, vmapped by the batched multi-channel driver."""
+        res = self._resources(pls)
+        fec = res["fec"]
+        ldpc, bch = res["ldpc"], res["bch"]
+
+        def fec_impl(llrs):
+            hard, _, iters, ok = ldpc._decode_impl(llrs)
+            corrected, n_corr = bch._decode_impl(hard[:, : fec.nbch])
+            kbits = corrected[:, : fec.kbch].astype(jnp.int32)
+            weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
+            kbytes = jnp.sum(
+                kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :],
+                axis=-1,
+            ).astype(jnp.uint8)
+            return kbytes, n_corr.astype(jnp.int32), \
+                iters.astype(jnp.int32), hard
+
+        return fec_impl
+
+    def _acm_refine_impl(self, pls: int):
+        """UNJITTED per-PLS post-decoder SNR refinement."""
+        res = self._resources(pls)
+        const, rate = res["constellation"], res["rate"]
+        n_mod = res["info"].n_mod
+        return lambda x, h: _snr_refine(x, h, const, rate, n_mod)
+
     def _decode_acm_batch(self, pls, llr_list, xfec_list) -> np.ndarray:
         res = self._resources(pls)
         B = self.cfg.fec_batch
@@ -1483,22 +1524,7 @@ class ACMReceiver(Receiver):
         key = ("fec", pls)
         fn = self._group_jits.get(key)
         if fn is None:
-            fec = res["fec"]
-            ldpc, bch = res["ldpc"], res["bch"]
-
-            def fec_impl(llrs):
-                hard, _, iters, ok = ldpc._decode_impl(llrs)
-                corrected, n_corr = bch._decode_impl(hard[:, : fec.nbch])
-                kbits = corrected[:, : fec.kbch].astype(jnp.int32)
-                weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
-                kbytes = jnp.sum(
-                    kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :],
-                    axis=-1,
-                ).astype(jnp.uint8)
-                return kbytes, n_corr.astype(jnp.int32), \
-                    iters.astype(jnp.int32), hard
-
-            fn = jax.jit(fec_impl)
+            fn = jax.jit(self._acm_fec_impl(pls))
             self._group_jits[key] = fn
 
         kbytes, n_corr, iters, hard = fn(jnp.asarray(batch))
@@ -1509,11 +1535,7 @@ class ACMReceiver(Receiver):
         rkey = ("refine", pls)
         rfn = self._group_jits.get(rkey)
         if rfn is None:
-            const, rate = res["constellation"], res["rate"]
-            n_mod = res["info"].n_mod
-            rfn = jax.jit(
-                lambda x, h: _snr_refine(x, h, const, rate, n_mod)
-            )
+            rfn = jax.jit(self._acm_refine_impl(pls))
             self._group_jits[rkey] = rfn
         snr = float(rfn(jnp.stack(list(xfec_list)), hard[:n]))
         if snr > 0:

@@ -31,6 +31,7 @@ Reference mapping: the host loop of ``Receiver._process_frames``
 re-expressed as masked vector updates over the channel axis.
 """
 
+import time
 from dataclasses import dataclass
 
 import jax
@@ -67,7 +68,8 @@ class StreamReceiver:
         self.n_out = F * L                      # symbols per step
         self.n_in = self.n_out * cfg.sps        # input samples per step
         self.sync = FeedForwardSync(
-            sps=cfg.sps, rolloff=cfg.rolloff, max_block=self.n_out
+            sps=cfg.sps, rolloff=cfg.rolloff, max_block=self.n_out,
+            mf_precision=cfg.mf_precision,
         )
         self._hist = self.sync.history()
         self._n_fe = self.n_in + self._hist     # front-end slice length
@@ -81,6 +83,7 @@ class StreamReceiver:
 
         step = self._build_step()
         self.raw_step = step      # unjitted, for composition (bench source)
+        self._reacquire = None    # built lazily (compiles only when needed)
         if mesh is not None:
             def leaf_spec(x):
                 # channel-led arrays shard over "ch"; scalar aggregates
@@ -204,12 +207,17 @@ class StreamReceiver:
                 )
             )(jnp.concatenate([sbuf, pad], axis=1), consumed)
             sfill = sfill - consumed
+            # underflow: the NEXT front-end read needs n_fe - n_in carried
+            # samples; sustained same-sign slips that drain below that are
+            # surfaced so the host policy can re-prime before the extraction
+            # windows read stale buffer tail (advisor r2)
+            underflow = sfill < (n_fe - n_in)
             new_state = dict(
                 state, sbuf=sbuf, sfill=sfill, agc_gain=gain,
                 rot_phase=phase, ff_tau=ff2.tau, ff_rate=ff2.rate,
                 ff_init=ff2.initialized,
             )
-            return new_state, syms, overflow
+            return new_state, syms, overflow, underflow
 
         def extract(sym_all_lane, fp):
             """(T, 2, C) symbols + per-channel fp -> lane-major windows."""
@@ -246,7 +254,7 @@ class StreamReceiver:
             return jnp.mean(m, axis=1)          # (C, 3)
 
         def step(state, iq):
-            state, syms, overflow = frontend(state, iq)
+            state, syms, overflow, underflow = frontend(state, iq)
             sym_all = jnp.concatenate([state["sym_tail"], syms], axis=1)
             sym_lane = sym_all.transpose(1, 2, 0)          # (T, 2, C)
             fp = state["fp"]
@@ -385,14 +393,130 @@ class StreamReceiver:
                 "fp": fp,
                 "sfill": new_state["sfill"],
                 "overflow": jnp.sum(overflow),
+                "underflow": underflow,
             }
             return new_state, kbytes.reshape(C, F, -1), stats
 
         return step
 
+    # ---------------- re-acquisition (device-side) ----------------
+
+    def _build_reacquire(self):
+        """One jitted (state, iq_tail, mask) -> (state', ok) re-acquisition.
+
+        The device analog of the reference's automatic frame-sync re-search
+        (``lib/pl_frame_sync.cc:183-217``): for every channel flagged in
+        ``mask``, re-run the priming math (fresh timing state, dense timing
+        metric, whole-symbol rewind) on the most recent ``n_fe`` raw input
+        samples and splice the result into the carried state with masked
+        merges — no host round trip of the (large) state pytree. CFO
+        knowledge survives: the rotator increment, cumulative offset, and
+        coarse-corrected flag are kept; only the frame/timing alignment and
+        the coarse accumulator (stale across the outage) reset.
+
+        ``ok[c]`` is True when channel ``c`` was flagged AND a SOF peak
+        above threshold was found; channels flagged but not found keep
+        their old state (the host retries next step).
+        """
+        C, F, L = self.n_channels, self.F, self.frame_len
+        n_out, n_fe, sps = self.n_out, self._n_fe, self.cfg.sps
+        cfg = self.cfg
+
+        def reacquire(state, iq_tail, mask):
+            gain = state["agc_gain"]
+            x = iq_tail * gain[:, None, None] if cfg.agc else iq_tail
+            rot, phase = jax.vmap(rotate_block)(
+                x, jnp.zeros((C,), jnp.float32), state["rot_inc"]
+            )
+            ff0 = jax.tree.map(
+                lambda v: jnp.stack([v] * C), self.sync.init_state()
+            )
+            ff2, syms, consumed = self.sync.step_batched(ff0, rot, n_out)
+            metric = jax.vmap(self._rx._acq_impl)(syms)
+            win = metric[:, : L + 90]
+            p = jnp.argmax(win, axis=1).astype(jnp.int32)
+            found = jnp.take_along_axis(
+                win, p[:, None], axis=1
+            )[:, 0] >= plsync.THRESHOLD_UNLOCKED
+            ss = p - 89
+            ss = jnp.where(ss < FP0, ss + L, ss)
+            m = (n_out - ss - (TAIL - FP0)) // L
+            E = ss + (TAIL - FP0) + m * L
+            r = n_out - E
+            start = consumed - r * sps
+            sbuf = jax.vmap(
+                lambda rt, s: jax.lax.dynamic_slice(
+                    jnp.concatenate([rt, jnp.zeros(
+                        (self.N_BUF, 2), jnp.float32)]),
+                    (s, 0), (self.N_BUF, 2),
+                )
+            )(rot, start)
+            sfill = n_fe - start
+            sym_tail = jax.vmap(
+                lambda s, e: jax.lax.dynamic_slice(
+                    s, (e - TAIL, 0), (TAIL, 2)
+                )
+            )(syms, E)
+
+            ok = mask & found
+
+            def mk(new, old):
+                m_b = ok.reshape((C,) + (1,) * (old.ndim - 1))
+                return jnp.where(m_b, new, old)
+
+            zc = jnp.zeros((C,), jnp.int32)
+            new_state = dict(
+                state,
+                sbuf=mk(sbuf, state["sbuf"]),
+                sfill=mk(sfill, state["sfill"]),
+                ff_tau=mk(ff2.tau, state["ff_tau"]),
+                ff_rate=mk(ff2.rate, state["ff_rate"]),
+                ff_init=mk(ff2.initialized, state["ff_init"]),
+                rot_phase=mk(phase, state["rot_phase"]),
+                sym_tail=mk(sym_tail, state["sym_tail"]),
+                fp=mk(jnp.full((C,), FP0, jnp.int32), state["fp"]),
+                coarse_acc=mk(jnp.zeros_like(state["coarse_acc"]),
+                              state["coarse_acc"]),
+                coarse_frames=mk(zc, state["coarse_frames"]),
+                unlock_cnt=mk(zc, state["unlock_cnt"]),
+            )
+            return new_state, ok
+
+        return reacquire
+
+    def reacquire(self, state, iq_tail, mask):
+        """Re-acquire the channels flagged in ``mask`` from the latest
+        ``n_fe`` raw samples (``iq_tail``: (C, n_fe, 2) float planar).
+        Returns (state', ok)."""
+        if self._reacquire is None:
+            fn = self._build_reacquire()
+            if self.mesh is not None:
+                ch = NamedSharding(self.mesh, P("ch"))
+                iq_sh = NamedSharding(self.mesh, P("ch", None, None))
+                state_tmpl = self.init_state_np()
+
+                def leaf_spec(x):
+                    nd = getattr(x, "ndim", 0)
+                    if nd >= 1 and x.shape[0] == self.n_channels:
+                        return NamedSharding(
+                            self.mesh, P(*(["ch"] + [None] * (nd - 1)))
+                        )
+                    return NamedSharding(self.mesh, P())
+
+                state_sh = jax.tree.map(leaf_spec, state_tmpl)
+                self._reacquire = jax.jit(
+                    fn,
+                    in_shardings=(state_sh, iq_sh, ch),
+                    out_shardings=(state_sh, ch),
+                    donate_argnums=0,
+                )
+            else:
+                self._reacquire = jax.jit(fn, donate_argnums=0)
+        return self._reacquire(state, iq_tail, mask)
+
     # ---------------- priming (host-side acquisition) ----------------
 
-    def prime(self, iq_prefix: np.ndarray):
+    def prime(self, iq_prefix: np.ndarray, strict: bool = True):
         """Acquire from the first samples and build the steady-state carry.
 
         iq_prefix: (C, n) complex64, n >= n_in + history + 1. Runs one
@@ -400,6 +524,11 @@ class StreamReceiver:
         host Receiver's acquisition math), and rewinds the sample buffer by
         a whole number of symbols so the next step's frame group starts at
         ``FP0`` inside the carried tail. Returns the device state.
+
+        With ``strict=False`` a channel without a SOF peak above threshold
+        does not raise: it keeps the zero state (it will read as unlocked)
+        and is reported in ``self.prime_ok`` for the host re-acquisition
+        policy (``StreamSession``) to retry.
         """
         C, sps = self.n_channels, self.cfg.sps
         L, F = self.frame_len, self.F
@@ -437,13 +566,17 @@ class StreamReceiver:
 
         state = self.init_state_np()
         first_sof = np.zeros((C,), np.int64)
+        prime_ok = np.ones((C,), bool)
         for c in range(C):
             p = int(np.argmax(metric[c, : L + 90]))
             if metric[c, p] < plsync.THRESHOLD_UNLOCKED:
-                raise RuntimeError(
-                    f"prime: no SOF found on channel {c} "
-                    f"(peak {metric[c, p]:.1f})"
-                )
+                if strict:
+                    raise RuntimeError(
+                        f"prime: no SOF found on channel {c} "
+                        f"(peak {metric[c, p]:.1f})"
+                    )
+                prime_ok[c] = False
+                continue
             ss = p - 89
             if ss < FP0:
                 ss += L
@@ -461,4 +594,197 @@ class StreamReceiver:
         state["ff_init"] = np.asarray(ff2.initialized)
         state["agc_gain"] = np.asarray(gain_d)
         self._first_sof = first_sof             # diagnostics for tests
+        self.prime_ok = prime_ok
         return self.put_state(state)
+
+
+class StreamSession:
+    """Host policy around ``StreamReceiver``: prime, step, monitor lock,
+    and re-acquire dropped channels.
+
+    The reference receiver re-searches automatically when frame sync
+    unlocks because its block graph keeps running
+    (``lib/pl_frame_sync.cc:183-217``); here the device step keeps running
+    too, and this host loop implements the deferred policy: when a
+    channel's ``locked`` stat falls (or it never primed), re-run the
+    device-side acquisition (``StreamReceiver.reacquire``) on the most
+    recent raw samples, which the session keeps as a short rolling window
+    of already-uploaded device blocks — no extra host->device traffic.
+    """
+
+    def __init__(self, sr: StreamReceiver):
+        self.sr = sr
+        self.state = None
+        self._blk_hist = []           # most recent device input blocks
+        self._nblk = int(np.ceil(sr._n_fe / sr.n_in)) + 1
+        self.need = np.zeros((sr.n_channels,), bool)
+        self.reacquired = 0           # channels successfully re-acquired
+
+    def prime(self, iq_prefix: np.ndarray):
+        """Soft-prime: failed channels are queued for re-acquisition.
+        Returns the per-channel success mask."""
+        self.state = self.sr.prime(iq_prefix, strict=False)
+        self.need = ~self.sr.prime_ok
+        return self.sr.prime_ok.copy()
+
+    def step(self, blk):
+        """One stream step. ``blk``: (C, n_in, 2) float32 planar, host or
+        device array. Returns (kbytes, stats); stats values are device
+        arrays (reading ``locked`` here forces the step's completion, which
+        is the price of per-step lock monitoring)."""
+        sr = self.sr
+        dblk = blk if isinstance(blk, jax.Array) else sr.put_iq(blk)
+        self._blk_hist.append(dblk)
+        if len(self._blk_hist) > self._nblk:
+            self._blk_hist.pop(0)
+        self.state, kb, stats = sr.step(self.state, dblk)
+        locked = np.asarray(stats["locked"])
+        self.need |= ~locked
+        # buffer underflow corrupts extraction before the metric notices
+        self.need |= np.asarray(stats["underflow"])
+        have = sum(b.shape[1] for b in self._blk_hist)
+        if self.need.any() and have >= sr._n_fe:
+            tail = jnp.concatenate(self._blk_hist, axis=1)[:, -sr._n_fe:]
+            if sr.mesh is not None:
+                tail = jax.device_put(
+                    tail, NamedSharding(sr.mesh, P("ch", None, None))
+                )
+            self.state, ok = sr.reacquire(
+                self.state, tail, jnp.asarray(self.need)
+            )
+            ok = np.asarray(ok)
+            self.reacquired += int(ok.sum())
+            self.need &= ~ok
+        return kb, stats
+
+
+class StreamEngine:
+    """Product host receiver driving the device-resident stream step.
+
+    Drop-in replacement for ``rx.receiver.Receiver`` in the CCM/ffw
+    configuration: same ``receive()/get_stats()/stats`` surface, so
+    ``apps/dvbs2-rx`` can route its main loop through the low-dispatch
+    device-resident engine (the reference's only receive path IS its
+    product path, ``apps/dvbs2-rx:832-967``). Handles chunked input of any
+    size (internal sample re-blocking to the step size), soft priming, and
+    automatic re-acquisition via ``StreamSession``; TS bytes are stitched
+    on the host with the native BB-frame fast path when available.
+
+    Multi-channel operation (``n_channels > 1``) expects ``receive`` to be
+    fed a (C, n) array and returns a list of per-channel TS byte arrays —
+    the TPU-first batched mode the scalar reference cannot do.
+    """
+
+    def __init__(self, cfg: RxConfig, n_channels: int = 1,
+                 frames_per_step: int = 2, mesh: Mesh = None):
+        from ..spec.bb_frame import BBFrameParser
+        from ..spec.scramblers import bb_derandomizer_bytes
+        from .receiver import RxStats
+
+        self.cfg = cfg
+        self.sr = StreamReceiver(cfg, n_channels=n_channels,
+                                 frames_per_step=frames_per_step, mesh=mesh)
+        self.sess = StreamSession(self.sr)
+        self.n_channels = n_channels
+        self.stats = RxStats()
+        self.frame_len = self.sr.frame_len
+        self._scr = bb_derandomizer_bytes(cfg.fec.kbch // 8)
+        self.bb_parsers = [BBFrameParser(cfg.fec.kbch)
+                           for _ in range(n_channels)]
+        self.bb_parser = self.bb_parsers[0]      # get_stats() compatibility
+        self._buf = np.empty((n_channels, 0), np.complex64)
+        self._primed = False
+        self._was_locked = np.zeros((n_channels,), bool)
+        self._pending = []                       # lagged (kbytes) readbacks
+        self._lag = 2
+
+    # -- Receiver-compatible surface --
+
+    get_stats = Receiver.get_stats
+
+    def _update_stats(self, stats):
+        s = self.stats
+        C, F = self.n_channels, self.sr.F
+        locked = np.asarray(stats["locked"])
+        now_locked = bool(locked.all())
+        if now_locked and not s.locked:
+            s.lock_cnt += 1
+            s.lock_time = time.time()
+        if (~locked & self._was_locked).any():
+            s.unlock_cnt += int((~locked & self._was_locked).sum())
+        self._was_locked = locked
+        s.locked = now_locked
+        nf = int(locked.sum()) * F
+        s.sof_cnt += nf
+        s.frame_cnt += nf
+        s.coarse_foffset = float(np.asarray(stats["coarse_foffset"])[0])
+        s.fine_foffset = float(np.asarray(stats["fine_foffset"])[0])
+        s.cum_freq_offset = float(np.asarray(stats["cum_foffset"])[0])
+        s.coarse_corrected = bool(
+            np.asarray(stats["coarse_corrected"]).all()
+        )
+        snr = float(np.asarray(stats["snr_refined"])[0])
+        if snr > 0:
+            s.snr_db = 10.0 * np.log10(snr)
+        errs = int(stats["bch_errors"])
+        s.bch_frames += C * F
+        s.bch_frame_errors += errs
+        s.ldpc_frames += C * F
+        s.ldpc_total_iters += int(stats["ldpc_iters"]) * C * F
+
+    def _stitch(self, kb_np):
+        """BBFRAME bytes (C, F, kbch/8) -> per-channel TS byte arrays."""
+        out = []
+        for c in range(self.n_channels):
+            parts = [
+                self.bb_parsers[c].push(kb_np[c, f] ^ self._scr)
+                for f in range(self.sr.F)
+            ]
+            out.append(np.concatenate(parts) if parts
+                       else np.empty(0, np.uint8))
+        return out
+
+    def receive(self, iq: np.ndarray, flush: bool = True):
+        """Process IQ samples; returns recovered TS bytes (flat uint8 array
+        for single-channel, list of arrays for multi-channel).
+
+        Samples short of a full device step are buffered across calls; on
+        ``flush`` any final sub-step remainder is dropped (the device step
+        has a fixed shape — matching the reference, which also leaves the
+        pipeline's in-flight tail undelivered at shutdown).
+        """
+        iq = np.asarray(iq, dtype=np.complex64)
+        if iq.ndim == 1:
+            iq = iq[None]
+        if iq.shape[0] != self.n_channels:
+            raise ValueError(f"expected {self.n_channels} channel rows")
+        self._buf = np.concatenate([self._buf, iq], axis=1)
+        sr = self.sr
+        ts = [[] for _ in range(self.n_channels)]
+
+        if not self._primed and self._buf.shape[1] >= sr._n_fe:
+            self.sess.prime(self._buf[:, : sr._n_fe])
+            self._buf = self._buf[:, sr._n_fe:]
+            self._primed = True
+
+        while self._primed and self._buf.shape[1] >= sr.n_in:
+            blk = cplx.from_np(self._buf[:, : sr.n_in]).astype(np.float32)
+            self._buf = self._buf[:, sr.n_in:]
+            kb, stats = self.sess.step(blk)
+            self._update_stats(stats)
+            self._pending.append(kb)
+            if len(self._pending) > self._lag:
+                for c, t in enumerate(
+                    self._stitch(np.asarray(self._pending.pop(0)))
+                ):
+                    ts[c].append(t)
+        if flush:
+            while self._pending:
+                for c, t in enumerate(
+                    self._stitch(np.asarray(self._pending.pop(0)))
+                ):
+                    ts[c].append(t)
+        out = [
+            np.concatenate(t) if t else np.empty(0, np.uint8) for t in ts
+        ]
+        return out[0] if self.n_channels == 1 else out

@@ -227,3 +227,40 @@ def test_acm_snr_refinement():
     # data-aided estimates are biased low at this SNR; the refinement
     # recovers the true value within ~1 dB)
     assert abs(rx.stats.snr_db - 16.0) < 1.0
+
+
+def test_batched_acm_matches_single():
+    """BatchedACMReceiver: C lockstep channels with different data/schedules
+    decode bit-identically to C individual ACMReceivers (the batcher only
+    changes dispatch grouping, never math). VERDICT r2 item 7: the windowed
+    ACM pipeline gains a channel axis."""
+    from dvbs2rx_tpu.rx.acm_batch import BatchedACMReceiver
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+
+    C = 3
+    streams = [
+        _vcm_waveform(schedule=[0, 1], n_pkts=120, seed=10 + c)
+        for c in range(C)
+    ]
+    n = min(iq.size for _, iq in streams)
+    iq = np.stack([iq[:n] for _, iq in streams])
+
+    def mk_cfg():
+        return RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+                        fec_batch=4)
+
+    # singles
+    singles = []
+    for c in range(C):
+        rx = ACMReceiver(mk_cfg())
+        singles.append(rx.receive(iq[c]))
+    # batched (two receive calls to exercise streaming carry)
+    brx = BatchedACMReceiver(mk_cfg(), n_channels=C)
+    cut = n // 2
+    out1 = brx.receive(iq[:, :cut], flush=False)
+    out2 = brx.receive(iq[:, cut:], flush=True)
+    for c in range(C):
+        got = np.concatenate([out1[c], out2[c]])
+        np.testing.assert_array_equal(got, singles[c],
+                                      err_msg=f"channel {c} diverged")
+        check_ts_subset(streams[c][0], got, min_packets=30)

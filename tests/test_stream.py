@@ -22,7 +22,8 @@ MODCOD, FRAME = "qpsk1/2", "short"
 
 
 def _stimulus(sr, n_steps, esn0_db=15.0, freq_offset=0.0, seed=0):
-    txc = TxConfig(modcod=MODCOD, frame_size=FRAME, sps=2, rolloff=0.2)
+    txc = TxConfig(modcod=sr.cfg.modcod, frame_size=sr.cfg.frame_size,
+                   sps=2, rolloff=0.2)
     tx = Transmitter(txc)
     rng = np.random.default_rng(seed)
     need = sr._n_fe + n_steps * sr.n_in + 4096
@@ -138,3 +139,83 @@ def test_stream_sharded_matches_single_device():
         for c in range(C):
             assert -1 not in idx[c], f"sharded decode not bit-exact: {idx}"
     assert int(stats["bch_errors"]) == 0
+
+
+@pytest.mark.slow
+def test_stream_normal_frames_long_run():
+    """40-step steady state on normal FECFRAMEs at 6 dB Es/N0 — the bench
+    workload. Regression for the round-2 collapse: the timing-rate estimator
+    railed at MAX_RATE within ~2 steps of normal-frame steady state (block
+    size 64980 symbols destabilized the alpha-beta loop), all channels lost
+    lock permanently, and BCH failed on every frame. The stream must decode
+    every frame bit-exact with zero BCH errors and hold lock throughout."""
+    C, F, T = 1, 2, 40
+    cfg = RxConfig(modcod=MODCOD, frame_size="normal", sym_sync_impl="ffw",
+                   fec_batch=C * F)
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    iq, ref_bb = _stimulus(sr, T, esn0_db=6.0, seed=7)
+    frames, stats = _run(sr, iq, T)
+    last = None
+    for t, kb in enumerate(frames):
+        idx = _match(ref_bb, kb)
+        for c in range(C):
+            assert -1 not in idx[c], f"step {t}: frame not bit-exact: {idx}"
+            assert idx[c][1] == idx[c][0] + 1, f"step {t}: not consecutive"
+            if last is not None:
+                assert idx[c][0] == last[c] + 1, f"step {t}: stream gap"
+        last = [idx[c][-1] for c in range(C)]
+    assert bool(np.all(np.asarray(stats["locked"])))
+    assert int(stats["bch_errors"]) == 0
+    # the timing rate must not be railed at the clamp
+    from dvbs2rx_tpu.ops.ffsync import MAX_RATE
+    # rate lives in the receiver state; check via stats sfill steadiness:
+    # a railed rate drains/overfills the sample buffer monotonically
+    assert int(np.asarray(stats["sfill"]).max()) < sr.N_BUF - sr.n_in
+
+
+def test_stream_dropout_relock():
+    """Loss of lock + host re-acquisition policy (StreamSession).
+
+    A mid-stream sample gap (a dropout that shifts frame alignment by a
+    non-multiple of the frame period) destroys the frame grid; the session
+    must detect the unlock via the stats, re-acquire the affected channels
+    on-device from the recent raw samples, and return to bit-exact
+    consecutive decoding. Reference analog: frame sync re-searches
+    automatically after 3 weak frames (lib/pl_frame_sync.cc:183-217)."""
+    from dvbs2rx_tpu.rx.stream import StreamSession
+
+    C, F, T = 2, 2, 14
+    cfg = RxConfig(modcod=MODCOD, frame_size=FRAME, sym_sync_impl="ffw",
+                   fec_batch=C * F)
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    iq, ref_bb = _stimulus(sr, T + 2, seed=9)
+    # dropout: remove a non-frame-multiple span after step 4
+    cut = sr._n_fe + 4 * sr.n_in + 12345
+    gap = 3 * sr.frame_len + 1311          # symbols' worth of samples
+    iq = np.concatenate([iq[:, :cut], iq[:, cut + gap:]], axis=1)
+
+    sess = StreamSession(sr)
+    ok = sess.prime(iq[:, : sr._n_fe])
+    assert ok.all()
+    clean_tail, relocked = 0, False
+    for t in range(T):
+        blk = cplx.from_np(
+            iq[:, sr._n_fe + t * sr.n_in: sr._n_fe + (t + 1) * sr.n_in]
+        ).astype(np.float32)
+        kb, stats = sess.step(blk)
+        idx = _match(ref_bb, np.asarray(kb))
+        step_clean = all(
+            -1 not in idx[c] and idx[c][1] == idx[c][0] + 1 for c in range(C)
+        )
+        if t <= 3:
+            assert step_clean, f"pre-dropout step {t} not clean: {idx}"
+        if sess.reacquired and step_clean:
+            relocked = True
+            clean_tail += 1
+        elif not step_clean:
+            clean_tail = 0
+    assert sess.reacquired >= C, f"no re-acquisition ({sess.reacquired})"
+    assert relocked and clean_tail >= 3, (
+        f"did not return to bit-exact decoding (clean_tail={clean_tail})"
+    )
+    assert bool(np.all(np.asarray(stats["locked"])))
