@@ -46,6 +46,13 @@ MAX_RATE = 2.5e-4
 # safely inside the +-sps/2 = 1 sample unwrap range at sps=2
 WIN_SAMP = 4096
 
+# cap on the number of measurement windows: the O&M correlator costs
+# ~0.03 MAC/sample-tap x WIN_SAMP x W, so an uncapped W on a normal-frame
+# block would cost ~75% of the matched filter itself. 8 windows (a 32k-
+# sample prefix) keep the slope baseline at 16k symbols: rate noise after
+# the EMA drifts the position well under the slip deadband per block.
+MAX_WINDOWS = 8
+
 
 def _halfband_taps(n_taps=23):
     """Half-band lowpass for 2x interpolation (odd length, zero at even lags)."""
@@ -185,7 +192,7 @@ class FeedForwardSync:
         (still modulo sps; the tracking loop unwraps it).
         """
         n = samples.shape[0]
-        W = n // WIN_SAMP
+        W = min(n // WIN_SAMP, MAX_WINDOWS)
         m = W * WIN_SAMP
         c_re, c_im = self._om_terms(samples[:m])
         re_w = jnp.sum(c_re.reshape(W, -1), axis=1)

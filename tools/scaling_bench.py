@@ -13,7 +13,14 @@ contention, since all virtual devices share host cores). On a real pod
 slice the same code path shards over ICI; BASELINE.json's north star is
 >= 0.8 efficiency at 64 channels.
 
-Usage: python tools/scaling_bench.py [n_channels] [frames_per_step]
+Usage:
+    python tools/scaling_bench.py [n_channels] [frames_per_step]
+    python tools/scaling_bench.py --stream [n_channels] [frames_per_step]
+
+``--stream`` benches the COMPOSED device-resident ``StreamReceiver`` step
+(front end + PL + FEC + control as one jitted program) sharded over the
+channel mesh — the full IQ->BBFRAME path of SURVEY.md §2.7 — and writes
+the efficiency table to docs/scaling_stream.json.
 """
 
 import os
@@ -95,5 +102,91 @@ def main():
         )
 
 
+def stream_main(argv):
+    import json
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from dvbs2rx_tpu.ops import cplx
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.rx.stream import StreamReceiver
+    from dvbs2rx_tpu.parallel.batch import make_channel_mesh
+    from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
+
+    C = int(argv[0]) if argv else 8
+    F = int(argv[1]) if len(argv) > 1 else 2
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short",
+                   sym_sync_impl="ffw", fec_batch=C * F)
+
+    txc = TxConfig(modcod="qpsk1/2", frame_size="short", sps=2,
+                   rolloff=cfg.rolloff)
+    tx = Transmitter(txc)
+    rng = np.random.default_rng(0)
+    T = 6
+    # sized off one probe receiver (geometry is mesh-independent)
+    probe = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    need = probe._n_fe + T * probe.n_in + 4096
+    n_pkts = ((need // (probe.frame_len * 2) + 4) * tx.df_bytes) // 188 + 2
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = 0x47
+    iq1 = awgn_channel(tx.ts_to_iq(pkts.reshape(-1)), 12.0, sps=2, seed=1)
+    iq = np.stack([iq1] * C)
+
+    n_dev = len(jax.devices())
+    results = {}
+    table = []
+    for nd in [1, 2, 4, 8]:
+        if nd > n_dev or C % nd:
+            continue
+        mesh = make_channel_mesh(jax.devices()[:nd])
+        sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F, mesh=mesh)
+        state = sr.prime(iq[:, : sr._n_fe])
+        blks = [
+            sr.put_iq(cplx.from_np(
+                iq[:, sr._n_fe + t * sr.n_in: sr._n_fe + (t + 1) * sr.n_in]
+            ).astype(np.float32))
+            for t in range(T)
+        ]
+        state, kb, stats = sr.step(state, blks[0])
+        jax.block_until_ready(kb)
+        errs = int(stats["bch_errors"])  # honest blocking readback
+        t0 = time.perf_counter()
+        for t in range(1, T):
+            state, kb, stats = sr.step(state, blks[t])
+        errs += int(stats["bch_errors"])
+        jax.block_until_ready(kb)
+        dt = (time.perf_counter() - t0) / (T - 1)
+        results[nd] = dt
+        eff = results[1] / (dt * nd) if nd > 1 else 1.0
+        thr = C * sr.n_in / dt / 1e6
+        row = {"devices": nd, "step_ms": round(dt * 1e3, 2),
+               "msps": round(thr, 2),
+               "scaling_efficiency": round(eff, 3),
+               "bch_errors": errs}
+        table.append(row)
+        print(
+            f"devices={nd} step={dt*1e3:.1f}ms throughput={thr:.1f} Msps "
+            f"scaling_efficiency={eff:.2f} bch_errors={errs}"
+        )
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "docs", "scaling_stream.json")
+    with open(out, "w") as f:
+        json.dump({
+            "note": ("composed StreamReceiver IQ->BBFRAME step, "
+                     "channel-sharded; virtual CPU mesh shares host cores "
+                     "so efficiency is a partition-validity check here, "
+                     "ICI scaling needs a real slice"),
+            "channels": C, "frames_per_step": F, "table": table,
+        }, f, indent=1)
+    print("wrote", os.path.normpath(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream":
+        stream_main(sys.argv[2:])
+    else:
+        main()
