@@ -344,9 +344,15 @@ def measure_acm(esn0_db=6.0):
         def many(*a):
             def body(eps, _):
                 out = f_one(a[0] + eps, *a[1:])
-                leaf = jax.tree.leaves(out)[0]
-                return (jnp.sum(leaf[..., :1].astype(jnp.float32)) % 2
-                        ) * 1e-12, None
+                # FULL reduction over EVERY leaf: a carry that reads only
+                # one output lets XLA dead-code-eliminate the rest of the
+                # stage (measured: the group stage's demap vanished and
+                # the stage timed ~0)
+                tot = sum(
+                    jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(out)
+                )
+                return (tot % 2) * 1e-12, None
             eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
             return eps
         one = jax.jit(lambda *a: f_one(*a))

@@ -41,17 +41,21 @@ from .pallas_fir import mf_decimate, mf_segmented
 # timing-drift rate bound, in input samples per output symbol
 MAX_RATE = 2.5e-4
 
-# sub-window size (input samples) for the windowed rate measurement; the
-# adjacent-window drift at MAX_RATE is 2.5e-4 * 2048 sym = 0.51 samples,
-# safely inside the +-sps/2 = 1 sample unwrap range at sps=2
-WIN_SAMP = 4096
-
-# cap on the number of measurement windows: the O&M correlator costs
-# ~0.03 MAC/sample-tap x WIN_SAMP x W, so an uncapped W on a normal-frame
-# block would cost ~75% of the matched filter itself. 8 windows (a 32k-
-# sample prefix) keep the slope baseline at 16k symbols: rate noise after
-# the EMA drifts the position well under the slip deadband per block.
-MAX_WINDOWS = 8
+# windowed rate measurement geometry: MAX_WINDOWS windows of WIN_SAMP
+# samples SPREAD EVENLY over the whole block. The spread matters: a
+# prefix-only baseline extrapolates any systematic per-window tau bias by
+# (block span / baseline), which wrecked the carry on normal-frame blocks
+# (measured EVM 0.35 with a 16k prefix on a 130k block); a full-span
+# baseline has extrapolation factor ~1. The total sample budget
+# (16 x 1024 = 16k) matches the old single-window estimator, so the
+# front-end cost is unchanged. Unwrap constraint: adjacent-window spacing
+# is span/W <= ~4.1k symbols at the largest supported blocks, and
+# MAX_RATE * spacing ~= 0.5 samples stays inside the +-1 sample unwrap
+# range. Offsets are forced even so every window keeps the same (-1)^n
+# correlator parity (an odd offset would alias tau by one sample).
+WIN_SAMP = 1024
+MAX_WINDOWS = 16
+MIN_MULTI_SAMP = 16384   # below this, the single-window fallback runs
 
 
 def _halfband_taps(n_taps=23):
@@ -183,25 +187,32 @@ class FeedForwardSync:
         The position-only estimate is modular (one symbol period), so a rate
         derived from its block-to-block innovation has a pull-in range of
         sps/2 per block — a few ppm at normal-FECFRAME block sizes, far less
-        than MAX_RATE. Instead, measure tau per WIN_SAMP-sample sub-window,
-        unwrap the per-window sequence (adjacent windows drift at most
-        MAX_RATE * win_sym = 0.51 samples, inside the unwrap range), and
-        least-squares fit slope + intercept: the slope is a direct
-        input-samples-per-symbol rate measurement whose pull-in covers the
-        whole clamp range, and the intercept is the position at block start
-        (still modulo sps; the tracking loop unwraps it).
+        than MAX_RATE. Instead, measure tau in MAX_WINDOWS short windows
+        spread evenly over the block, unwrap the per-window sequence
+        (adjacent windows drift at most ~MAX_RATE * span/W ~= 0.5 samples,
+        inside the unwrap range), and least-squares fit slope + intercept:
+        the slope is a direct input-samples-per-symbol rate measurement
+        whose pull-in covers the whole clamp range and whose full-span
+        baseline does not amplify per-window bias, and the intercept is the
+        position at block start (still modulo sps; the tracking loop
+        unwraps it).
         """
         n = samples.shape[0]
-        W = min(n // WIN_SAMP, MAX_WINDOWS)
-        m = W * WIN_SAMP
-        c_re, c_im = self._om_terms(samples[:m])
-        re_w = jnp.sum(c_re.reshape(W, -1), axis=1)
-        im_w = jnp.sum(c_im.reshape(W, -1), axis=1)
+        W = min(MAX_WINDOWS, n // WIN_SAMP)
+        offs = np.round(np.linspace(0, n - WIN_SAMP, W)).astype(np.int64)
+        offs = (offs // 2) * 2                      # keep (-1)^n parity
+        wins = jnp.stack([
+            jax.lax.slice_in_dim(samples, int(o), int(o) + WIN_SAMP, axis=0)
+            for o in offs
+        ])                                          # (W, WIN_SAMP, 2)
+        c_re, c_im = jax.vmap(self._om_terms)(wins)
+        re_w = jnp.sum(c_re, axis=1)
+        im_w = jnp.sum(c_im, axis=1)
         tau_w = (-jnp.arctan2(im_w, re_w) / (2 * jnp.pi)) * self.sps
         sps = self.sps
         d = jnp.mod(tau_w[1:] - tau_w[:-1] + sps / 2, sps) - sps / 2
         t_un = jnp.concatenate([jnp.zeros((1,), tau_w.dtype), jnp.cumsum(d)])
-        wc = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (WIN_SAMP / sps)
+        wc = jnp.asarray((offs + WIN_SAMP / 2) / sps, jnp.float32)
         wbar = jnp.mean(wc)
         tbar = jnp.mean(t_un)
         slope = jnp.sum((wc - wbar) * (t_un - tbar)) / jnp.sum(
@@ -250,16 +261,29 @@ class FeedForwardSync:
         # fit) keep the innovation-based update, where the per-block
         # normalization is both stable (|lambda|~=0.70 at smooth=0.5,
         # rate_gain=0.15) and inside its sps/(2*n_out) pull-in range.
-        if n_samp // WIN_SAMP >= 4:
+        if n_samp >= MIN_MULTI_SAMP:
             tau_meas, rate_meas = self._estimate_timing_multi(samples)
             rate_meas = jnp.clip(rate_meas, -MAX_RATE, MAX_RATE)
-            rate = jnp.where(
-                state.initialized > 0,
-                state.rate + self.rate_gain * (rate_meas - state.rate),
-                rate_meas,
-            )
             # position measured at block start: predict with the carry alone
             innov = jnp.mod(tau_meas - state.tau + sps / 2, sps) - sps / 2
+            # rate = EMA toward the direct slope measurement (full-clamp
+            # pull-in) + an innovation-integral trim: the slope comes from a
+            # short prefix baseline, so any systematic per-window tau bias
+            # (e.g. interpolation distortion varying with fractional delay)
+            # extrapolates over the whole block; the position innovation
+            # integrates that residual away (per-block normalization keeps
+            # this term stable at any block size)
+            rate = jnp.where(
+                state.initialized > 0,
+                jnp.clip(
+                    state.rate
+                    + self.rate_gain * (rate_meas - state.rate)
+                    + self.rate_gain * innov / n_out,
+                    -MAX_RATE,
+                    MAX_RATE,
+                ),
+                rate_meas,
+            )
             tau0 = jnp.where(
                 state.initialized > 0,
                 state.tau + self.smooth * innov,

@@ -264,3 +264,25 @@ def test_batched_acm_matches_single():
         np.testing.assert_array_equal(got, singles[c],
                                       err_msg=f"channel {c} diverged")
         check_ts_subset(streams[c][0], got, min_packets=30)
+
+
+def test_weak_header_fallback_decode():
+    """A PLHEADER whose timing-metric peak falls below the locked threshold
+    must still be PLSC-decoded by the single-header fallback in the chain
+    walk (the reference decodes every expected PLHEADER regardless of the
+    metric, plsync_cc_impl.cc:494). Regression: the fallback referenced an
+    unbound jit and crashed on first use."""
+    ts_in, iq = _vcm_waveform(schedule=[0], n_pkts=120, seed=31)
+    # attenuate the 4th PLHEADER (after lock): the timing metric scales
+    # ~|a|^2 so x0.5 puts the peak at ~a quarter of threshold. iq is at
+    # sps=2 SAMPLES; cover the 90-symbol header plus pulse-shaping delay
+    # slack (a few payload symbols also attenuate — harmless at 15 dB)
+    L = 8190                   # qpsk1/2 short PLFRAME (8100 payload + 90)
+    start = 2 * 3 * L          # frame-3 header (+pulse delay, inside window)
+    iq = iq.copy()
+    iq[start: start + 2 * 135] *= 0.5
+    rx = _acm_rx()
+    ts_out = rx.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=40)
+    assert rx.stats.bch_frame_errors == 0
+    assert rx.stats.locked
