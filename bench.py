@@ -44,6 +44,7 @@ bytes; a dead stream yields ``sustained_ok: false`` + an error field, not
 a throughput.
 """
 
+import functools
 import json
 import os
 import sys
@@ -58,7 +59,7 @@ K_FE = 33      # front-end chain length
 REPS = 5       # wall-clock repetitions per measured dispatch
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def budget_left():
@@ -133,15 +134,24 @@ def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
     tx = Transmitter(txc)
     per_frames = T_WRAP * F
     rng = np.random.default_rng(7)
-    n_pkts = (per_frames * tx.df_bytes) // 188
+    # ceil + slack: flooring under-filled the period (3 frames of TS for a
+    # 4-frame period), leaving a pulse-shaping seam at every wrap that
+    # corrupted ~10 symbols of one frame per period — decodable, but it
+    # drove that LDPC lane to max trials every other step
+    n_pkts = (per_frames * tx.df_bytes) // 188 + 2
     pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
     pkts[:, 0] = 0x47
     syms = tx.modulate_ts(pkts.reshape(-1))[: per_frames * sr.frame_len]
+    assert syms.size == per_frames * sr.frame_len, "stimulus under-filled"
     wave3 = tx.pulse_shape(np.tile(syms, 3))
     period = per_frames * sr.frame_len * cfg.sps
     mid = wave3[period: 2 * period]
     esn0 = 10 ** (esn0_db / 10)
-    noise = rng.normal(0, np.sqrt(1 / esn0 / 2), (period, 2))
+    # per-sample sigma includes the sps factor (awgn_channel convention:
+    # pulse_shape has DC gain sps -> unit per-sample signal power, so
+    # sample SNR = Es/N0 - 10log10(sps)); without it the sustained
+    # stimulus ran 3 dB hot of its label
+    noise = rng.normal(0, np.sqrt(cfg.sps / esn0 / 2), (period, 2))
     wave = (mid + noise @ np.array([1, 1j])).astype(np.complex64)
 
     # prime from the (wrapped) head of the stream
@@ -219,7 +229,7 @@ def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
     # otherwise bounds the loop at step_samples / dispatch_latency) ----
     T_SCAN = 8
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def scan_steps(state, i0):
         def body(st, i):
             blk = jax.lax.dynamic_index_in_dim(

@@ -34,13 +34,19 @@ def estimate_snr_qpsk(syms):
 
 def estimate_snr_generic(syms, constellation, rate):
     pts = cplx.from_np(constellation_points(constellation, rate))
+    ptsj = jnp.asarray(pts)
     d2 = jnp.sum(
-        (syms[..., None, :] - jnp.asarray(pts)[None, :, :]) ** 2, axis=-1
+        (syms[..., None, :] - ptsj[None, :, :]) ** 2, axis=-1
     )
-    idx = jnp.argmin(d2, axis=-1)
-    ref = jnp.asarray(pts)[idx]
-    sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
-    np_ = jnp.sum(jnp.sum((syms - ref) ** 2, axis=-1), axis=-1)
+    # noise power is the min distance itself; signal power selects the
+    # slicer point's energy with an exact one-hot (a pts[argmin] gather
+    # from the tiny table serializes on TPU — see _snr_refine)
+    dmin = jnp.min(d2, axis=-1)
+    np_ = jnp.sum(dmin, axis=-1)
+    e = jnp.sum(ptsj * ptsj, axis=-1)                       # (P,)
+    oh = (d2 == dmin[..., None]).astype(jnp.float32)
+    oh = oh / jnp.maximum(jnp.sum(oh, axis=-1, keepdims=True), 1.0)
+    sp = jnp.sum(oh @ e, axis=-1)
     return sp / jnp.maximum(np_, 1e-12)
 
 

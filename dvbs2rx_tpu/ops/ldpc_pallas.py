@@ -344,7 +344,7 @@ class PallasLDPCDecoder:
 
         This is the kernel's NATIVE layout: the (B, N) -> kernel-layout int8
         transposes cost ~4.6 ms for 128 normal frames on TPU (layout probes,
-        tools/compose_split.py) — more than the decode itself. Lane-major
+        tools/probes/compose_split.py) — more than the decode itself. Lane-major
         callers (the batched pipeline) transpose once in f32 upstream
         instead. Returns (hard_t (N, B) uint8, llrsT out, iters, conv (B,)).
         """

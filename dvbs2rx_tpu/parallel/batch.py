@@ -15,7 +15,7 @@ AVX2 LDPC decoder, applied to the entire pipeline:
   consumes DIRECTLY — zero layout copies between demap and decode. (The
   previous channel-major layout spent more time in XLA relayout copies of
   the 33 MB LLR tensor than in the LDPC decode itself; see
-  tools/compose_split.py and the jit_step trace: copy 3.3 ms + reshape
+  tools/probes/compose_split.py and the jit_step trace: copy 3.3 ms + reshape
   2.8 ms vs 1.05 ms kernel.)
 - the channel axis is sharded over the mesh's ``ch`` axis with ``pjit``-style
   NamedSharding, so a 64-channel receiver spreads across a pod slice with no

@@ -210,7 +210,12 @@ def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
     for b in range(n_mod):
         idx = (idx << 1) | sym_bits[..., b]
     pts = jnp.asarray(cplx.from_np(constellation_points(constellation, rate)))
-    ref = pts[idx]                                             # (B, rows, 2)
+    # one-hot matmul instead of pts[idx]: the (B*rows)-element gather from
+    # the tiny constellation table serializes on TPU (profiled at ~5 ms/
+    # step for 64 normal frames, the single hottest op in the stream
+    # step); the 0/1-weighted matmul is exact and rides the MXU
+    oh = (idx[..., None] == jnp.arange(pts.shape[0])).astype(jnp.float32)
+    ref = jnp.einsum("brp,pc->brc", oh, pts)                   # (B, rows, 2)
     sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
     np_ = jnp.sum(jnp.sum((xfec - ref) ** 2, axis=-1), axis=-1)
     snr = sp / jnp.maximum(np_, 1e-12)
@@ -747,7 +752,7 @@ class Receiver:
         The decoder-native layout end to end — no int8 transposes anywhere
         (the (B, N) int8 -> kernel-layout transposes cost ~4.6 ms for 128
         normal frames, more than the LDPC decode itself; see
-        tools/compose_split.py). Returns kbytes in (B, kbch/8) like
+        tools/probes/compose_split.py). Returns kbytes in (B, kbch/8) like
         ``_fec_stage_impl``.
         """
         hard_t, _llrs_out_t, iters, ok = self.ldpc.decode_lane_major(llrsT)
