@@ -37,7 +37,14 @@ def rotate_block(iq, phase0, phase_inc):
     """
     n = jnp.arange(iq.shape[-2], dtype=jnp.float32)
     ph = phase0 + phase_inc * n
-    out = cplx.cmul(iq, cplx.cexp(ph))
+    # elementwise complex multiply on the planar array (no jnp.stack):
+    # the stack-based cmul makes XLA materialize two (n, 1) rail planes
+    # in 1x128-tiled layouts (1/8 store efficiency, ~1.9 ms/step profiled
+    # on the 64-channel stream step); this form fuses into one pass.
+    # Bit-identical: re = x0*c + x1*s*(-1), im = x1*c + x0*s.
+    c, sn = jnp.cos(ph)[..., None], jnp.sin(ph)[..., None]
+    sign = jnp.asarray([-1.0, 1.0], jnp.float32)
+    out = iq * c + iq[..., ::-1] * sn * sign
     next_phase = jnp.mod(phase0 + phase_inc * iq.shape[-2], 2 * jnp.pi)
     return out, next_phase
 

@@ -233,21 +233,26 @@ def mf_segmented(samples, taps_seg, base_seg, sps, seg_len, off_bound,
         out = _mf_pallas(a, b, ta, tb, seg_len // TILE, interpret=interpret)
         return out.transpose(0, 2, 1)                 # (C, n_out, 2)
     # XLA fallback: depthwise grouped convolution with the same extended
-    # taps (what ffsync shipped before the Pallas kernel compiled)
+    # taps (what ffsync shipped before the Pallas kernel compiled).
+    # Rails split ONCE with a clean (C, 2, n) transpose, then windows
+    # slice rail-major: per-window planar slicing made XLA materialize
+    # rail planes of the whole front-end block as (C, n, 1) arrays in
+    # 1x128-tiled layouts (1/8 store efficiency, ~1.9 ms/step profiled on
+    # the 64-channel stream step).
     w_seg = (seg_len - 1) * sps + K
 
-    def one(ch_samples, ch_taps_ext):
-        wins = jnp.stack(
+    def one(ch_sr, ch_taps_ext):
+        # ch_sr: (2, n) rail-major
+        lhs = jnp.stack(
             [
                 jax.lax.slice_in_dim(
-                    ch_samples, s * seg_len * sps,
-                    s * seg_len * sps + w_seg, axis=0
+                    ch_sr, s * seg_len * sps,
+                    s * seg_len * sps + w_seg, axis=1
                 )
                 for s in range(S)
             ],
-            axis=0,
-        )                                             # (S, w_seg, 2)
-        lhs = wins.transpose(2, 0, 1)                 # (2, S, w_seg)
+            axis=1,
+        )                                             # (2, S, w_seg)
         rhs = ch_taps_ext[:, None, :]                 # (S, 1, K)
         out = jax.lax.conv_general_dilated(
             lhs, rhs,
@@ -260,7 +265,7 @@ def mf_segmented(samples, taps_seg, base_seg, sps, seg_len, off_bound,
         return out.transpose(1, 2, 0).reshape(n_out, 2)
 
     assert n >= (n_out - 1) * sps + K, "history too short"
-    return jax.vmap(one)(samples, taps_ext)
+    return jax.vmap(one)(samples.transpose(0, 2, 1), taps_ext)
 
 
 def mf_decimate(samples, taps, base, sps, n_out, use_pallas=True,

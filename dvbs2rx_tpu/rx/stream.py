@@ -185,27 +185,28 @@ class StreamReceiver:
             rot, phase = jax.vmap(rotate_block)(
                 iq, state["rot_phase"], state["rot_inc"]
             )
-            # append to the sample buffer (overflow clamps + is reported)
-            sfill = jnp.minimum(state["sfill"], self.N_BUF - n_in)
+            # RIGHT-ALIGNED sample buffer: valid data always ends at index
+            # N_BUF, so the append is a STATIC shift-by-n_in concatenation
+            # and "consuming" samples is pure bookkeeping (sfill shrinks) —
+            # no per-channel dynamic update/shift of the big buffer (the
+            # vmapped dynamic slice/update lowered to per-channel while
+            # loops costing ~3.2 ms/step at 64 channels). The only dynamic
+            # access left is the per-channel n_fe-sample front-end read at
+            # offset N_BUF - sfill. Overflow (append would push valid data
+            # past capacity) drops the oldest samples off the left edge
+            # automatically and is reported.
             overflow = state["sfill"] > self.N_BUF - n_in
-            sbuf = jax.vmap(
-                lambda b, x, f: jax.lax.dynamic_update_slice(b, x, (f, 0))
-            )(state["sbuf"], rot, sfill)
-            sfill = sfill + n_in
+            sfill = jnp.minimum(state["sfill"] + n_in, self.N_BUF)
+            sbuf = jnp.concatenate([state["sbuf"][:, n_in:], rot], axis=1)
             ff = FFSyncState(
                 tau=state["ff_tau"], rate=state["ff_rate"],
                 initialized=state["ff_init"],
             )
-            ff2, syms, consumed = self.sync.step_batched(
-                ff, sbuf[:, :n_fe], n_out
-            )
-            # drop consumed samples (pad so the dynamic slice never clamps)
-            pad = jnp.zeros((C, n_in + 64, 2), jnp.float32)
-            sbuf = jax.vmap(
-                lambda b, c: jax.lax.dynamic_slice(
-                    b, (c, 0), (self.N_BUF, 2)
-                )
-            )(jnp.concatenate([sbuf, pad], axis=1), consumed)
+            start = self.N_BUF - sfill
+            fe_in = jax.vmap(
+                lambda b, s: jax.lax.dynamic_slice(b, (s, 0), (n_fe, 2))
+            )(sbuf, start)
+            ff2, syms, consumed = self.sync.step_batched(ff, fe_in, n_out)
             sfill = sfill - consumed
             # underflow: the NEXT front-end read needs n_fe - n_in carried
             # samples; sustained same-sign slips that drain below that are
@@ -482,13 +483,12 @@ class StreamReceiver:
             E = ss + (TAIL - FP0) + m * L
             r = n_out - E
             start = consumed - r * sps
-            sbuf = jax.vmap(
-                lambda rt, s: jax.lax.dynamic_slice(
-                    jnp.concatenate([rt, jnp.zeros(
-                        (self.N_BUF, 2), jnp.float32)]),
-                    (s, 0), (self.N_BUF, 2),
-                )
-            )(rot, start)
+            # right-aligned buffer: place ALL n_fe re-processed samples at
+            # the right edge with one STATIC slice (the already-consumed
+            # prefix lands before the valid region, harmlessly);
+            # sfill marks where the valid (unconsumed) suffix begins
+            pad = jnp.zeros((C, max(self.N_BUF - n_fe, 0), 2), jnp.float32)
+            sbuf = jnp.concatenate([pad, rot], axis=1)[:, -self.N_BUF:]
             sfill = n_fe - start
             sym_tail = jax.vmap(
                 lambda s, e: jax.lax.dynamic_slice(
@@ -623,7 +623,9 @@ class StreamReceiver:
             r = n_out - E                       # whole symbols to rewind
             start = int(consumed[c]) - r * sps
             tail_samples = rotated[c, start:n_fe]
-            state["sbuf"][c, : tail_samples.shape[0]] = tail_samples
+            # right-aligned buffer: valid data ends at index N_BUF
+            state["sbuf"][c, self.N_BUF - tail_samples.shape[0]:] = \
+                tail_samples
             state["sfill"][c] = tail_samples.shape[0]
             state["sym_tail"][c] = syms[c, E - TAIL: E]
             first_sof[c] = ss
