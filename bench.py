@@ -301,7 +301,13 @@ def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
         "sustained_note": (
             "device-staged periodic IQ source; h2d_msps_per_channel is the "
             "tunnel feed ceiling of this environment (0.05 GB/s), not a "
-            "property of the receiver"
+            "property of the receiver. sustained_device_msps = per-step "
+            "dispatches pipelined back-to-back (bounded by step compute "
+            "once dispatch overlaps); sustained_scan_msps = T_SCAN steps "
+            "per dispatch; sustained_msps additionally reads back + "
+            "stitches every TS byte on the host — d2h of the decoded "
+            "bytes over this tunnel (~0.05 GB/s) dominates it (the "
+            "native stitch itself measures 2.6 ms/step)"
         ),
     }
 
@@ -489,7 +495,11 @@ def measure_acm(esn0_db=6.0):
         "acm_note": (
             "single-stream windowed ACM pipeline (group-sized window); "
             "acm_msps_c8 = the same stages channel-batched x8 "
-            "(BatchedACMReceiver dispatch shapes)"
+            "(BatchedACMReceiver dispatch shapes). The stages are compute-"
+            "saturated at these shapes, so the x8 batch costs ~8x serial: "
+            "the batching win is DISPATCH amortization for the host "
+            "pipeline (1 dispatch per stage instead of C), which matters "
+            "at ~24 ms/dispatch, not stage throughput"
         ),
     }
 
