@@ -124,9 +124,12 @@ class CallBatcher:
 
 
 def _stack(args_list):
-    """Stack a list of arg tuples leaf-wise along a new axis 0."""
+    """Stack a list of arg tuples leaf-wise along a new axis 0 (args may
+    be pytrees, e.g. the timing-recovery state)."""
     return tuple(
-        jax.numpy.stack([a[i] for a in args_list])
+        jax.tree.map(
+            lambda *xs: jax.numpy.stack(xs), *[a[i] for a in args_list]
+        )
         for i in range(len(args_list[0]))
     )
 
@@ -173,6 +176,18 @@ class BatchedACMReceiver:
 
     def _patch(self, ch: ACMReceiver, proto: ACMReceiver):
         batcher = self._batcher
+
+        fe_impl = proto._frontend_impl
+
+        def fe_step(samples, st, rp, ri, ag):
+            key = samples.shape
+            return batcher.submit(
+                ("fe", key),
+                lambda al: self._batch_call("fe", key, lambda: fe_impl, al),
+                (samples, st, rp, ri, ag),
+            )
+
+        ch._frontend_step = fe_step
 
         acq_impl = proto._acq_impl
 
