@@ -274,3 +274,37 @@ def test_stream_scan_step_matches_stepwise():
     for t in range(T):
         np.testing.assert_array_equal(kbs[t], step_out[t])
     assert bool(np.all(np.asarray(sstats["locked"])[-1]))
+
+
+@pytest.mark.slow
+def test_stream_normal_frames_cfo():
+    """Vectorized closed-loop CFO pull-in at normal-FECFRAME block sizes:
+    the coarse accumulator, settle guard, and rotator update must behave
+    with the large-block timing tracker (the round-2 collapse coupled CFO
+    dynamics with the railed rate estimator; this pins the interaction).
+
+    Pilots on: at normal frames the pilotless fine range (1/(2*plframe) =
+    1.5e-5/sym) cannot cover the coarse estimator's residual, so a
+    pilotless normal-frame stream cannot trim a CFO below the coarse
+    threshold — a physics limit the reference shares (its field guidance
+    is pilots for such links); the pilot-mode fine range (3.4e-4) can."""
+    C, F, T = 1, 2, 12
+    cfg = RxConfig(modcod=MODCOD, frame_size="normal", pilots=True,
+                   sym_sync_impl="ffw", fec_batch=C * F, coarse_period=4)
+    sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
+    iq, ref_bb = _stimulus(sr, T, esn0_db=8.0, freq_offset=2e-4, seed=23)
+    state = sr.prime(iq[:, : sr._n_fe])
+    clean_tail = 0
+    for t in range(T):
+        blk = cplx.from_np(
+            iq[:, sr._n_fe + t * sr.n_in: sr._n_fe + (t + 1) * sr.n_in]
+        ).astype(np.float32)
+        state, kbytes, stats = sr.step(state, jnp.asarray(blk))
+        idx = _match(ref_bb, np.asarray(kbytes))
+        if -1 not in idx[0] and bool(np.asarray(stats["coarse_corrected"])[0]):
+            clean_tail += 1
+        else:
+            clean_tail = 0
+    assert clean_tail >= 3, "did not settle to bit-exact decode under CFO"
+    cum = float(np.asarray(stats["cum_foffset"])[0])
+    assert abs(cum - 4e-4) < 5e-5, cum  # per-symbol offset = sps * 2e-4
