@@ -415,41 +415,40 @@ def measure_acm(esn0_db=6.0):
         headers, payloads,
     )
 
-    # stage D: per-PLS FEC batch (hard int8 input; chain via +eps on a
-    # FLOAT carry is unsafe for int8 LLRs — perturb by xor of a 0/1 int)
+    # stage D: per-PLS lane-major FEC (the product path: ACMReceiver
+    # uploads the LLR queue lane-major, frames on the minor axis). Chain
+    # perturbation via int xor-like carry — +eps on a FLOAT carry is
+    # unsafe for int8 LLRs.
     out = gfn(headers, jnp.int32(pls), payloads, jnp.asarray(True),
               jnp.float32(0.0))
-    llrs = out["llrs"]
-    res = rx._resources(pls)
-    ldpc, bch, fec = res["ldpc"], res["bch"], res["fec"]
+    llrsT = jnp.asarray(np.ascontiguousarray(np.asarray(out["llrs"]).T))
+    fec_lane = rx._acm_fec_impl(pls)
 
-    def fec_one(llrs):
-        hard, _, iters, ok = ldpc._decode_impl(llrs)
-        corrected, n_corr = bch._decode_impl(hard[:, : fec.nbch])
-        return corrected, n_corr
+    def fec_chain(width_llrsT):
+        @jax.jit
+        def many(lt):
+            def body(eps, _):
+                kb, n_corr, iters, hard_t = fec_lane(
+                    (lt + eps).astype(jnp.int8)
+                )
+                return (jnp.sum(n_corr) % 2).astype(jnp.int8), None
+            eps, _ = jax.lax.scan(body, jnp.int8(0), None, length=K)
+            return eps
+        return chain_time_k(jax.jit(fec_lane), many, K, width_llrsT)
 
-    @jax.jit
-    def fec_many(llrs):
-        def body(eps, _):
-            corrected, n_corr = fec_one(
-                (llrs + eps).astype(jnp.int8)
-            )
-            return (jnp.sum(n_corr) % 2).astype(jnp.int8), None
-        eps, _ = jax.lax.scan(body, jnp.int8(0), None, length=K)
-        return eps
-
-    t_fec = chain_time_k(jax.jit(fec_one), fec_many, K, llrs)
+    t_fec = fec_chain(llrsT)
 
     t_window = t_metric + t_plsc + t_group + t_fec
     samples = F0 * L * sps
     acm_msps = samples / t_window / 1e6
-    n_corr = np.asarray(fec_one(llrs)[1])
+    n_corr = np.asarray(fec_lane(llrsT)[1])
 
     # ---- channel-batched ACM stages (BatchedACMReceiver's dispatch
-    # shapes, VERDICT r2 item 7): the same four stages vmapped over C=8
-    # channels — the per-channel cost should approach 1/C of the
-    # single-stream dispatch, which is the TPU-first win over the
-    # reference's strictly per-stream plsync chain ----
+    # shapes): metric/PLSC/group vmap over C=8 channels; the FEC stage
+    # POOLS the channels' same-PLS frames into ONE lane-major decode
+    # (N, C*F0) — the reference's SIMD-lane trick applied across channels
+    # (ldpc_decoder_bb_impl.cc:309-352), bit-identical per frame thanks
+    # to per-lane convergence freezing (VERDICT r3 item 2) ----
     CB = 8
 
     def rep(x):
@@ -467,19 +466,16 @@ def measure_acm(esn0_db=6.0):
                                     jnp.asarray(True), jnp.float32(0.0))),
         rep(headers), rep(payloads),
     )
-    fec8 = jax.vmap(fec_one)
-
-    @jax.jit
-    def fec8_many(llrs8):
-        def body(eps, _):
-            corrected, n_corr = fec8((llrs8 + eps).astype(jnp.int8))
-            return (jnp.sum(n_corr) % 2).astype(jnp.int8), None
-        eps, _ = jax.lax.scan(body, jnp.int8(0), None, length=K)
-        return eps
-
-    t_fec8 = chain_time_k(jax.jit(fec8), fec8_many, K, rep(llrs))
+    llrsT8 = jnp.tile(llrsT, (1, CB))              # (N, CB*F0) pooled lanes
+    t_fec8 = fec_chain(llrsT8)
     t_window8 = t_metric8 + t_plsc8 + t_group8 + t_fec8
     acm_msps8 = CB * samples / t_window8 / 1e6
+
+    # pooled 128-lane decode: the fec_batch=16 x 8-channel operating point
+    # whose lane count hits the Pallas kernel on hardware (decode_lane_major
+    # falls back to XLA below 128 lanes); amortized over 4 windows/flush
+    llrsT128 = jnp.tile(llrsT, (1, 32))
+    t_fec128 = fec_chain(llrsT128)
 
     return {
         "acm_msps_per_stream": round(acm_msps, 1),
@@ -492,14 +488,20 @@ def measure_acm(esn0_db=6.0):
         "acm_msps_c8": round(acm_msps8, 1),
         "acm_c8_vs_serial": round(acm_msps8 / max(acm_msps, 1e-9), 2),
         "acm_t_c8_s": round(t_window8, 6),
+        "acm_t_metric8_s": round(t_metric8, 6),
+        "acm_t_plsc8_s": round(t_plsc8, 6),
+        "acm_t_group8_s": round(t_group8, 6),
+        "acm_t_fec8_pooled_s": round(t_fec8, 6),
+        "acm_t_fec128_pooled_s": round(t_fec128, 6),
         "acm_note": (
             "single-stream windowed ACM pipeline (group-sized window); "
-            "acm_msps_c8 = the same stages channel-batched x8 "
-            "(BatchedACMReceiver dispatch shapes). The stages are compute-"
-            "saturated at these shapes, so the x8 batch costs ~8x serial: "
-            "the batching win is DISPATCH amortization for the host "
-            "pipeline (1 dispatch per stage instead of C), which matters "
-            "at ~24 ms/dispatch, not stage throughput"
+            "acm_msps_c8 = metric/PLSC/group channel-batched x8 + the "
+            "channels' same-PLS frames POOLED into one lane-major FEC "
+            "decode (N, 32) — the product BatchedACMReceiver dispatch "
+            "shapes after VERDICT r3 item 2. acm_t_fec128_pooled_s is "
+            "the 128-lane pooled decode (fec_batch=16 operating point, "
+            "Pallas kernel); per-window amortized it costs a quarter of "
+            "that figure"
         ),
     }
 

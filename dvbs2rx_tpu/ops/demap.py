@@ -6,6 +6,7 @@ codeword order, plus the data-aided SNR estimator used to set the LLR scale.
 LLR sign convention: positive = bit 0. Symbols are float32 (..., n, 2).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,7 +47,11 @@ def estimate_snr_generic(syms, constellation, rate):
     e = jnp.sum(ptsj * ptsj, axis=-1)                       # (P,)
     oh = (d2 == dmin[..., None]).astype(jnp.float32)
     oh = oh / jnp.maximum(jnp.sum(oh, axis=-1, keepdims=True), 1.0)
-    sp = jnp.sum(oh @ e, axis=-1)
+    # HIGHEST precision keeps the one-hot select exact (default bf16
+    # contraction would round the point energies ~2^-9); trivial cost
+    sp = jnp.sum(
+        jnp.matmul(oh, e, precision=jax.lax.Precision.HIGHEST), axis=-1
+    )
     return sp / jnp.maximum(np_, 1e-12)
 
 

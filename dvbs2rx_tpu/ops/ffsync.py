@@ -171,7 +171,11 @@ class FeedForwardSync:
         sq_odd = o_re * o_re + o_im * o_im
         n = x_re.shape[0]
         sign = jnp.where(jnp.arange(n) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
-        return sq_even * sign, sq_odd * sign
+        # the odd branch is aligned as o[k+1] (see above), so index 0 is the
+        # zero-padded "same"-conv edge term, not a real 4/T sample between
+        # two inputs — mask it out of the correlation (advisor r3)
+        sign_odd = sign.at[0].set(0.0)
+        return sq_even * sign, sq_odd * sign_odd
 
     def _estimate_tau(self, samples):
         """Single-window O&M estimate in input samples, range [0, sps)."""

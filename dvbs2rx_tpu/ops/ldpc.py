@@ -247,7 +247,19 @@ class LDPCDecoder:
 
     def _run_decode(self, v, par):
         """Shared layered-decode core on lane-major state (v (nb, M, B),
-        par (q, M, B)); returns (v, par, trials_left, bad)."""
+        par (q, M, B)); returns (v, par, trials_left, bad).
+
+        Per-lane freeze at convergence: a lane whose parity check passes
+        keeps the state it converged with — further iterations (driven by
+        slower lanes in the batch) no longer touch it. This makes every
+        frame's decode result INDEPENDENT of batch composition, so frames
+        can be pooled freely across channels/steps (the cross-channel
+        SIMD-lane pooling of ``lib/ldpc_decoder_bb_impl.cc:309-352``)
+        with bit-identical per-frame outputs. The reference's scalar
+        early exit (``layered_decoder.hh:153-154``) instead keeps
+        iterating converged lanes; at operating SNR the results coincide
+        (a satisfied codeword only reinforces), but only the frozen
+        semantics guarantee it."""
         q = self.q
         B = v.shape[-1]
         msgs = jnp.zeros((q, self.max_deg, self.M, B), _I8)
@@ -257,10 +269,17 @@ class LDPCDecoder:
             return jnp.any(bad > 0) & (trials > 0)
 
         def body(state):
-            v, p, msgs, trials, _ = state
+            v, p, msgs, trials, bad = state
+            act = bad > 0                              # (B,) still decoding
+            v2, p2 = v, p
             for i in range(q):
-                v, p, msgs = self._update_layer(i, v, p, msgs)
-            return v, p, msgs, trials - 1, self._bad(v, p)
+                v2, p2, msgs = self._update_layer(i, v2, p2, msgs)
+            # frozen lanes keep their converged state (messages don't
+            # matter for them: their deltas are discarded every iteration)
+            v = jnp.where(act[None, None, :], v2, v)
+            p = jnp.where(act[None, None, :], p2, p)
+            return v, p, msgs, trials - 1, \
+                jnp.where(act, self._bad(v2, p2), 0)
 
         bad0 = self._bad(v, par)
         v, par, _msgs, trials_left, bad = jax.lax.while_loop(

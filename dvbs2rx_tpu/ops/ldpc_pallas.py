@@ -148,6 +148,13 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
             slot = i % DEPTH
             E = len(edges[i]) + 2
             vals = layer_vals(i)
+            # per-lane freeze at convergence (mirrors ops/ldpc.py
+            # _run_decode): lanes whose parity passed at the last bad_pass
+            # take no state deltas, so each frame's result is independent
+            # of batch composition (pooling across channels/steps stays
+            # bit-identical). A frozen lane's parity remains satisfied, so
+            # conv_ref is automatically cumulative.
+            frozen = conv_ref[:] != 0                  # (1, B) -> broadcast
 
             def old_msg(c):
                 m = rbuf[slot, c].astype(jnp.int32)
@@ -193,6 +200,7 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
                 out = jnp.where(sgn ^ (inp < 0), -excl, excl)
                 msg = jnp.clip(out, MSG_LO, MSG_HI)
                 delta = jnp.clip(inp + out, -128, 127) - val32(c)
+                delta = jnp.where(frozen, 0, delta)
                 if c < E - 2:                       # data edge
                     b, s = edges[i][c]
                     wbuf[slot, c] = msg.astype(jnp.int8)

@@ -18,7 +18,7 @@ are bit-identical to the unbatched receivers (the batcher only changes HOW
 calls are dispatched, never their math), which ``tests/test_acm_vcm.py``
 asserts.
 
-Dispatch批 granularity: with C channels in the same pipeline stage (the
+Dispatch granularity: with C channels in the same pipeline stage (the
 common case — lockstep input), each stage runs once per C channels instead
 of C times, and the batch axis feeds the MXU/VPU with C-fold wider work.
 """
@@ -157,8 +157,8 @@ class BatchedACMReceiver:
 
     # -- batched dispatchers --
 
-    def _vjit(self, kind, key, nbatch, make_impl):
-        k = (kind, key, nbatch)
+    def _vjit(self, kind, key, make_impl):
+        k = (kind, key)
         fn = self._vjits.get(k)
         if fn is None:
             with self._jit_lock:
@@ -169,10 +169,46 @@ class BatchedACMReceiver:
         return fn
 
     def _batch_call(self, kind, key, make_impl, args_list):
+        # Pad every group to the fixed channel count: desynchronized
+        # channels (different ACM schedules / lock states) produce varying
+        # group sizes 1..C, and compiling one vmap per size would stall the
+        # lockstep threads on a fresh jit at runtime (advisor r3). One
+        # compiled shape per (kind, key); padded rows repeat the last
+        # request and their results are discarded.
         n = len(args_list)
-        fn = self._vjit(kind, key, n, make_impl)
-        out = fn(*_stack(args_list))
+        padded = args_list + [args_list[-1]] * (self.n_channels - n)
+        fn = self._vjit(kind, key, make_impl)
+        out = fn(*_stack(padded))
         return [jax.tree.map(lambda x: x[i], out) for i in range(n)]
+
+    def _pool_fec(self, pls, args_list):
+        """Same-PLS FEC requests from C channels pooled into ONE lane-major
+        decode: the channels' (N, B) LLR batches concatenate along the lane
+        axis and decode as a single (N, C*B) call — the reference's
+        frames-as-SIMD-lanes trick (``ldpc_decoder_bb_impl.cc:309-352``)
+        applied ACROSS channels. Per-lane convergence freezing in the
+        decoder keeps each frame's result bit-identical to its unpooled
+        decode, which ``test_batched_acm_matches_single`` asserts. Unlike
+        a vmap over channels (C separate 4-lane tiles wasting 31/32 of
+        each int8 register row), the pooled lane axis feeds full tiles."""
+        n = len(args_list)
+        padded = args_list + [args_list[-1]] * (self.n_channels - n)
+        llrsT = jax.numpy.concatenate([a[0] for a in padded], axis=1)
+        key = ("fecpool", pls)
+        fn = self._vjits.get(key)
+        if fn is None:
+            with self._jit_lock:
+                fn = self._vjits.get(key)
+                if fn is None:
+                    fn = jax.jit(self.chans[0]._acm_fec_impl(pls))
+                    self._vjits[key] = fn
+        kbytes, n_corr, iters, hard_t = fn(llrsT)
+        B = args_list[0][0].shape[1]
+        return [
+            (kbytes[i * B:(i + 1) * B], n_corr[i * B:(i + 1) * B], iters,
+             hard_t[:, i * B:(i + 1) * B])
+            for i in range(n)
+        ]
 
     def _patch(self, ch: ACMReceiver, proto: ACMReceiver):
         batcher = self._batcher
@@ -256,15 +292,12 @@ class BatchedACMReceiver:
                 kind = key[0]
                 if kind == "fec":
                     pls = key[1]
-                    make = lambda: proto._acm_fec_impl(pls)  # noqa: E731
 
-                    def fec_call(llrs):
+                    def fec_call(llrsT, _pls=pls):
                         return batcher.submit(
-                            ("fec", pls),
-                            lambda al: outer._batch_call(
-                                "fec", pls, make, al
-                            ),
-                            (llrs,),
+                            ("fec", _pls),
+                            lambda al: outer._pool_fec(_pls, al),
+                            (llrsT,),
                         )
 
                     self[key] = fec_call

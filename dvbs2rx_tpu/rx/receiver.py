@@ -213,9 +213,12 @@ def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
     # one-hot matmul instead of pts[idx]: the (B*rows)-element gather from
     # the tiny constellation table serializes on TPU (profiled at ~5 ms/
     # step for 64 normal frames, the single hottest op in the stream
-    # step); the 0/1-weighted matmul is exact and rides the MXU
+    # step); the 0/1-weighted matmul rides the MXU. HIGHEST precision
+    # keeps the select exact (default bf16 contraction rounds the points
+    # ~2^-9); the contraction is tiny, so the pin costs nothing.
     oh = (idx[..., None] == jnp.arange(pts.shape[0])).astype(jnp.float32)
-    ref = jnp.einsum("brp,pc->brc", oh, pts)                   # (B, rows, 2)
+    ref = jnp.einsum("brp,pc->brc", oh, pts,
+                     precision=jax.lax.Precision.HIGHEST)      # (B, rows, 2)
     sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
     np_ = jnp.sum(jnp.sum((xfec - ref) ** 2, axis=-1), axis=-1)
     snr = sp / jnp.maximum(np_, 1e-12)
@@ -916,6 +919,39 @@ class ACMReceiver(Receiver):
         self._fec_queue = []  # ordered [(pls, llr np, xfec device), ...]
         self.bb_parser = BBFrameParser()  # variable frame sizes
 
+    def get_stats(self, sym_rate: float = None) -> dict:
+        """Reference-shaped stats plus coherent per-PLS sections: in
+        ACM/VCM each PLS is its own demapper+FEC context, so SNR, frame
+        counters and LDPC trials are reported per PLS (reference
+        ``apps/dvbs2-rx:996-1057`` reports the single demapper's SNR; a
+        variable-MODCOD monitor needs it per MODCOD)."""
+        base = super().get_stats(sym_rate)
+        per_plsync, per_fec = {}, {}
+        for pls, res in sorted(self._pls_resources.items()):
+            st = res["stats"]
+            if st["frames"] == 0 and st["fec_frames"] == 0:
+                continue
+            const, rate = res["constellation"], res["rate"]
+            name = f"{const.lower()}{rate}"
+            per_plsync[pls] = {
+                "modcod": name,
+                "frames": st["frames"],
+                "fine_foffset": st["fine_foffset"],
+            }
+            per_fec[pls] = {
+                "modcod": name,
+                "frames": st["fec_frames"],
+                "errors": st["fec_errors"],
+                "avg_ldpc_trials": (
+                    st["ldpc_iters"] / st["fec_frames"]
+                    if st["fec_frames"] else None
+                ),
+                "snr": st["snr_db"],
+            }
+        base["plsync"]["per_pls"] = per_plsync
+        base["fec"]["per_pls"] = per_fec
+        return base
+
     @staticmethod
     def _round_win(plframe_len: int) -> int:
         return int(np.ceil((plframe_len + 384) / 1024)) * 1024
@@ -969,6 +1005,17 @@ class ACMReceiver(Receiver):
                     pl_descrambling_sequence(self.cfg.gold_code)[: info.payload_len]
                 ),
                 "n0_refined": 0.0,   # post-decoder refined N0 (0 = not yet)
+                # per-PLS observability (reference reports per-demapper SNR
+                # coherently, apps/dvbs2-rx:996-1057; in ACM/VCM each PLS
+                # is its own demapper+FEC context)
+                "stats": {
+                    "frames": 0,          # PL frames accepted (plsync view)
+                    "fec_frames": 0,      # FEC frames decoded
+                    "fec_errors": 0,      # BCH decode failures
+                    "ldpc_iters": 0,      # cumulative LDPC trials
+                    "snr_db": None,       # refined per-PLS SNR
+                    "fine_foffset": 0.0,  # last fine estimate from this PLS
+                },
             }
             self._pls_resources[pls] = res
         return res
@@ -1372,10 +1419,12 @@ class ACMReceiver(Receiver):
         llrs = np.asarray(out["llrs"])[:F]
         for k in range(F):
             self._fec_queue.append((pls, llrs[k], out["xfec"][k]))
+        res["stats"]["frames"] += F
         n0 = float(out["n0"])
         if res["n0_refined"] == 0.0:
             self.stats.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
         fine = float(np.asarray(out["fine"])[F - 1])
+        res["stats"]["fine_foffset"] = fine
         if self._coarse_corrected:
             self._fine_ready = True
             self._fine_foffset = fine
@@ -1493,23 +1542,30 @@ class ACMReceiver(Receiver):
             self._fec_flush = False
 
     def _acm_fec_impl(self, pls: int):
-        """UNJITTED per-PLS FEC program (LDPC + BCH + bit pack); jitted by
-        ``_decode_acm_batch``, vmapped by the batched multi-channel driver."""
+        """UNJITTED per-PLS lane-major FEC program (LDPC + BCH + bit pack):
+        llrsT (N, B) int8 with frames on the minor (lane) axis — the
+        decoder-native layout (see ``_fec_stage_lane_major_impl``). Frames
+        from any channel/step pool freely along the lane axis: per-lane
+        convergence freezing makes each frame's result independent of the
+        batch composition, so the multi-channel driver concatenates C
+        channels' queues into ONE wide decode (the reference's SIMD-lane
+        trick applied across channels, ``ldpc_decoder_bb_impl.cc:309-352``)
+        with bit-identical per-frame outputs."""
         res = self._resources(pls)
         fec = res["fec"]
         ldpc, bch = res["ldpc"], res["bch"]
 
-        def fec_impl(llrs):
-            hard, _, iters, ok = ldpc._decode_impl(llrs)
-            corrected, n_corr = bch._decode_impl(hard[:, : fec.nbch])
-            kbits = corrected[:, : fec.kbch].astype(jnp.int32)
+        def fec_impl(llrsT):
+            hard_t, _llrs_t, iters, ok = ldpc.decode_lane_major(llrsT)
+            corrected_t, n_corr = bch.decode_lane_major(hard_t[: fec.nbch])
+            kbits_t = corrected_t[: fec.kbch].astype(jnp.int32)
+            B = kbits_t.shape[1]
             weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
             kbytes = jnp.sum(
-                kbits.reshape(kbits.shape[0], -1, 8) * weights[None, None, :],
-                axis=-1,
-            ).astype(jnp.uint8)
+                kbits_t.reshape(-1, 8, B) * weights[None, :, None], axis=1
+            ).astype(jnp.uint8).transpose(1, 0)
             return kbytes, n_corr.astype(jnp.int32), \
-                iters.astype(jnp.int32), hard
+                iters.astype(jnp.int32), hard_t
 
         return fec_impl
 
@@ -1524,7 +1580,11 @@ class ACMReceiver(Receiver):
         res = self._resources(pls)
         B = self.cfg.fec_batch
         n = len(llr_list)
-        batch = np.stack(llr_list + [llr_list[-1]] * (B - n))
+        # lane-major upload: frames on the minor axis (the transpose is
+        # host-side numpy — the LLR queue already lives on the host)
+        batch_t = np.ascontiguousarray(
+            np.stack(llr_list + [llr_list[-1]] * (B - n)).T
+        )
 
         key = ("fec", pls)
         fn = self._group_jits.get(key)
@@ -1532,7 +1592,7 @@ class ACMReceiver(Receiver):
             fn = jax.jit(self._acm_fec_impl(pls))
             self._group_jits[key] = fn
 
-        kbytes, n_corr, iters, hard = fn(jnp.asarray(batch))
+        kbytes, n_corr, iters, hard_t = fn(jnp.asarray(batch_t))
 
         # post-decoder SNR refinement per PLS (reference
         # xfecframe_demapper_cb_impl.cc:188-318): subsequent demapping of
@@ -1542,10 +1602,11 @@ class ACMReceiver(Receiver):
         if rfn is None:
             rfn = jax.jit(self._acm_refine_impl(pls))
             self._group_jits[rkey] = rfn
-        snr = float(rfn(jnp.stack(list(xfec_list)), hard[:n]))
+        snr = float(rfn(jnp.stack(list(xfec_list)), hard_t[:, :n].T))
         if snr > 0:
             res["n0_refined"] = 1.0 / snr
-            self.stats.snr_db = float(10 * np.log10(snr))
+            res["stats"]["snr_db"] = float(10 * np.log10(snr))
+            self.stats.snr_db = res["stats"]["snr_db"]
 
         kbytes = np.asarray(kbytes)[:n]
         n_corr = np.asarray(n_corr)[:n]
@@ -1554,6 +1615,9 @@ class ACMReceiver(Receiver):
         self.stats.bch_frames += n
         self.stats.bch_frame_errors += int(np.sum(n_corr < 0))
         self.stats.bch_corrections += int(np.sum(np.maximum(n_corr, 0)))
+        res["stats"]["fec_frames"] += n
+        res["stats"]["ldpc_iters"] += int(iters) * n
+        res["stats"]["fec_errors"] += int(np.sum(n_corr < 0))
         ts = []
         for row in kbytes:
             ts.append(self.bb_parser.push(row ^ res["bb_scramble"]))

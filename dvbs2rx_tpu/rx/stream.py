@@ -393,7 +393,10 @@ class StreamReceiver:
                 "cum_foffset": cum,
                 "fp": fp,
                 "sfill": new_state["sfill"],
-                "overflow": jnp.sum(overflow),
+                "overflow": overflow,       # per-channel, like underflow: an
+                                            # overflowed channel dropped
+                                            # unconsumed samples (frame grid
+                                            # broken) and must re-acquire
                 "underflow": underflow,
             }
             return new_state, kbytes.reshape(C, F, -1), stats
@@ -680,8 +683,10 @@ class StreamSession:
         self.state, kb, stats = sr.step(self.state, dblk)
         locked = np.asarray(stats["locked"])
         self.need |= ~locked
-        # buffer underflow corrupts extraction before the metric notices
+        # buffer under/overflow corrupts extraction (stale tail reads /
+        # dropped unconsumed samples) before the lock metric notices
         self.need |= np.asarray(stats["underflow"])
+        self.need |= np.asarray(stats["overflow"])
         have = sum(b.shape[1] for b in self._blk_hist)
         if self.need.any() and have >= sr._n_fe:
             tail = jnp.concatenate(self._blk_hist, axis=1)[:, -sr._n_fe:]

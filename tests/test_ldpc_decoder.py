@@ -78,6 +78,34 @@ def test_mixed_batch_converges_together(code, decoder):
     assert np.array_equal(np.asarray(hard), cw)
 
 
+def test_batch_composition_independence(code, decoder):
+    """Per-lane freeze at convergence: a frame decodes to the SAME bits
+    and LLRs whether it is decoded alone or pooled with slower frames
+    (the property that makes cross-channel same-PLS pooling bit-exact;
+    the reference's scalar early exit lacks the guarantee)."""
+    rng = np.random.default_rng(7)
+    info = rng.integers(0, 2, (3, code.K)).astype(np.uint8)
+    cw = code.encode(info)
+    # frame 0: moderately noisy (converges in a few iterations);
+    # frames 1-2: heavily corrupted (converge late or never)
+    esn0 = 10 ** (1.0 / 10)
+    n0 = 1 / esn0
+    x = 1.0 - 2.0 * cw.astype(np.float32)
+    y = x + rng.normal(0, np.sqrt(n0 / 2), x.shape).astype(np.float32)
+    llrs = np.clip(np.rint(y * (4 / n0)), -128, 127).astype(np.int8)
+    flip = rng.choice(code.N, 4000, replace=False)
+    llrs[1, flip] = -llrs[1, flip]
+    llrs[2] = rng.integers(-10, 10, code.N).astype(np.int8)  # never converges
+
+    h_alone, l_alone, _, ok_alone = decoder(llrs[:1])
+    h_pool, l_pool, _, ok_pool = decoder(llrs)
+    assert np.asarray(ok_alone)[0] and np.asarray(ok_pool)[0]
+    np.testing.assert_array_equal(np.asarray(h_pool)[0],
+                                  np.asarray(h_alone)[0])
+    np.testing.assert_array_equal(np.asarray(l_pool)[0],
+                                  np.asarray(l_alone)[0])
+
+
 @pytest.mark.parametrize("table,esn0_db", [
     ("S2_C2", -1.0),    # rate 1/3 short (threshold ~ -1.2 dB BPSK-equivalent)
     ("S2X_C1", -2.0),   # rate 11/45 short

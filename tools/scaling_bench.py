@@ -20,7 +20,14 @@ Usage:
 ``--stream`` benches the COMPOSED device-resident ``StreamReceiver`` step
 (front end + PL + FEC + control as one jitted program) sharded over the
 channel mesh — the full IQ->BBFRAME path of SURVEY.md §2.7 — and writes
-the efficiency table to docs/scaling_stream.json.
+the table to docs/scaling_stream.json. It WEAK-scales: channels grow with
+devices (C = channels_per_device x D) so the per-device workload is
+constant and the measured quantity is the partition overhead of the
+sharded program (the only thing a shared-host virtual mesh can measure;
+strong-scaling a fixed workload on shared cores produces a meaningless
+"efficiency" number). ICI scaling efficiency needs a real multi-chip
+slice — BASELINE.json's north star (>= 0.8 at 64 channels) remains
+unmeasurable in this environment.
 """
 
 import os
@@ -117,33 +124,34 @@ def stream_main(argv):
     from dvbs2rx_tpu.parallel.batch import make_channel_mesh
     from dvbs2rx_tpu.tx import Transmitter, TxConfig, awgn_channel
 
-    C = int(argv[0]) if argv else 8
+    cpd = int(argv[0]) if argv else 8      # channels PER DEVICE (weak scale)
     F = int(argv[1]) if len(argv) > 1 else 2
-    cfg = RxConfig(modcod="qpsk1/2", frame_size="short",
-                   sym_sync_impl="ffw", fec_batch=C * F)
 
-    txc = TxConfig(modcod="qpsk1/2", frame_size="short", sps=2,
-                   rolloff=cfg.rolloff)
+    txc = TxConfig(modcod="qpsk1/2", frame_size="short", sps=2, rolloff=0.2)
     tx = Transmitter(txc)
     rng = np.random.default_rng(0)
     T = 6
-    # sized off one probe receiver (geometry is mesh-independent)
-    probe = StreamReceiver(cfg, n_channels=C, frames_per_step=F)
-    need = probe._n_fe + T * probe.n_in + 4096
-    n_pkts = ((need // (probe.frame_len * 2) + 4) * tx.df_bytes) // 188 + 2
-    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
-    pkts[:, 0] = 0x47
-    iq1 = awgn_channel(tx.ts_to_iq(pkts.reshape(-1)), 12.0, sps=2, seed=1)
-    iq = np.stack([iq1] * C)
-
     n_dev = len(jax.devices())
     results = {}
     table = []
     for nd in [1, 2, 4, 8]:
-        if nd > n_dev or C % nd:
+        if nd > n_dev:
             continue
+        # weak scaling: per-device workload constant at cpd channels
+        C = cpd * nd
+        cfg = RxConfig(modcod="qpsk1/2", frame_size="short",
+                       sym_sync_impl="ffw", fec_batch=C * F)
         mesh = make_channel_mesh(jax.devices()[:nd])
         sr = StreamReceiver(cfg, n_channels=C, frames_per_step=F, mesh=mesh)
+        if nd == 1:
+            need = sr._n_fe + T * sr.n_in + 4096
+            n_pkts = ((need // (sr.frame_len * 2) + 4) * tx.df_bytes) \
+                // 188 + 2
+            pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+            pkts[:, 0] = 0x47
+            iq1 = awgn_channel(tx.ts_to_iq(pkts.reshape(-1)), 12.0, sps=2,
+                               seed=1)
+        iq = np.stack([iq1] * C)
         state = sr.prime(iq[:, : sr._n_fe])
         blks = [
             sr.put_iq(cplx.from_np(
@@ -161,26 +169,44 @@ def stream_main(argv):
         jax.block_until_ready(kb)
         dt = (time.perf_counter() - t0) / (T - 1)
         results[nd] = dt
-        eff = results[1] / (dt * nd) if nd > 1 else 1.0
+        # per-device step time vs the 1-device baseline. On a virtual CPU
+        # mesh the D "devices" share the host's physical cores, so the
+        # slowdown floor is the oversubscription ratio D/cores; only the
+        # excess above that floor says anything about the partitioning.
+        slowdown = dt / results[1]
+        cores = os.cpu_count() or 1
+        floor = max(1.0, nd / cores)
         thr = C * sr.n_in / dt / 1e6
-        row = {"devices": nd, "step_ms": round(dt * 1e3, 2),
-               "msps": round(thr, 2),
-               "scaling_efficiency": round(eff, 3),
+        row = {"devices": nd, "channels": C,
+               "step_ms_per_device": round(dt * 1e3, 2),
+               "msps_total": round(thr, 2),
+               "slowdown_vs_1dev": round(slowdown, 2),
+               "core_oversubscription_floor": round(floor, 2),
                "bch_errors": errs}
         table.append(row)
         print(
-            f"devices={nd} step={dt*1e3:.1f}ms throughput={thr:.1f} Msps "
-            f"scaling_efficiency={eff:.2f} bch_errors={errs}"
+            f"devices={nd} channels={C} step={dt*1e3:.1f}ms "
+            f"total={thr:.1f} Msps slowdown={slowdown:.2f}x "
+            f"(oversubscription floor {floor:.1f}x) bch_errors={errs}"
         )
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "..", "docs", "scaling_stream.json")
     with open(out, "w") as f:
         json.dump({
-            "note": ("composed StreamReceiver IQ->BBFRAME step, "
-                     "channel-sharded; virtual CPU mesh shares host cores "
-                     "so efficiency is a partition-validity check here, "
-                     "ICI scaling needs a real slice"),
-            "channels": C, "frames_per_step": F, "table": table,
+            "note": ("WEAK-scaling of the composed StreamReceiver "
+                     "IQ->BBFRAME step: channels grow with devices "
+                     "(constant per-device workload). On this virtual "
+                     "CPU mesh the D devices share host_cores physical "
+                     "cores, so per-device step time grows with the "
+                     "oversubscription floor D/cores; flat msps_total at "
+                     "the host's compute bound is the EXPECTED result "
+                     "and validates that the sharded program partitions "
+                     "and stays correct (bch_errors=0). ICI scaling "
+                     "efficiency (BASELINE north star >= 0.8) needs a "
+                     "real multi-chip slice and is NOT measured here."),
+            "host_cores": os.cpu_count(),
+            "channels_per_device": cpd, "frames_per_step": F,
+            "table": table,
         }, f, indent=1)
     print("wrote", os.path.normpath(out))
 
