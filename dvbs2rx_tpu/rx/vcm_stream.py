@@ -142,7 +142,10 @@ class VCMStreamReceiver:
         self._hist = self.sync.history()
         self._n_fe = self.n_in + self._hist
         self.N_BUF = self.n_in + self._hist + self.L_max * cfg.sps + 1024
-        self.N_SYM = self.n_out + self.L_max + 128
+        # symbol ring: one step's append + the priming backlog (prime keeps
+        # up to n_out symbols from the SOF; the walk drains the excess over
+        # the first couple of steps at K_max frames/step)
+        self.N_SYM = 2 * self.n_out + 128
         self._settle0 = int(
             (self.N_SYM + self.N_BUF / cfg.sps) // L_min_data + 2
         )
@@ -265,10 +268,12 @@ class VCMStreamReceiver:
         return new_state, overflow, underflow
 
     def _hdr3_at(self, symbuf, pos):
-        """94-symbol window [pos-2, pos+92) per channel + 3-point metric.
+        """94-symbol window [pos-2, pos+92) per channel + 3-point metric,
+        ``pos`` = nominal SOF start.
 
-        Returns (m3 (C, 3), ext94 (C, 94, 2)). metric offset d in {-1,0,+1}
-        relative to the nominal SOF position.
+        Returns (m3 (C, 3), ext94 (C, 94, 2)): m3[:, o] is the frame metric
+        for SOF offset d = o-1, and the offset-d header is
+        ext[:, d+2 : d+92].
         """
         C = self.n_channels
         p = jnp.clip(pos - 2, 0, self.N_SYM - 94)
@@ -283,6 +288,13 @@ class VCMStreamReceiver:
             d[..., 1:, :].reshape(-1, 89, 2)
         ).reshape(C, 3)
         return m3, ext
+
+    @staticmethod
+    def _hdr_from_ext(ext, shift):
+        """Offset-``shift`` 90-symbol header out of a ``_hdr3_at`` window."""
+        return jax.vmap(
+            lambda e, s: jax.lax.dynamic_slice(e, (s + 2, 0), (90, 2))
+        )(ext, shift)
 
     def _decode_plsc(self, hdr, corrected):
         """Per-channel PLSC decode: differential (CFO-robust) while not
@@ -314,20 +326,14 @@ class VCMStreamReceiver:
         fp0 = self.N_SYM - state["fp_right"]
         # first frame: 3-point re-align + header slice (the intra-step
         # analog of the CCM stream's frame-alignment DLL)
-        m3, ext = self._hdr3_at(symbuf, fp0 + 89)
+        m3, ext = self._hdr3_at(symbuf, fp0)
         center = m3[:, 1]
         shift = jnp.where(
             center + 1e-3 >= jnp.max(m3, axis=1),
             0, jnp.argmax(m3, axis=1).astype(jnp.int32) - 1,
         )
         pos0 = fp0 + shift
-        own0 = jax.vmap(
-            lambda e, s: jax.lax.dynamic_slice(e, (s, 0), (90, 2))
-        )(ext, shift + 1 - 89 + 90 - 90 + 88)  # ext starts at pos+89-2-...
-        # ext covers [pos0n+87, pos0n+181): recompute own header directly
-        own0 = jax.vmap(
-            lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (90, 2))
-        )(symbuf, jnp.clip(pos0, 0, self.N_SYM - 90))
+        own0 = self._hdr_from_ext(ext, shift)
         m_own0 = jnp.take_along_axis(
             m3, (shift + 1)[:, None], axis=1
         )[:, 0]
@@ -341,16 +347,14 @@ class VCMStreamReceiver:
             pos, pls, alive, own_hdr, m_own = carry
             L = _tab_lookup(self._L_tab, pls).astype(jnp.int32)
             nxt_nom = pos + L
-            m3n, extn = self._hdr3_at(symbuf, nxt_nom + 89)
+            m3n, extn = self._hdr3_at(symbuf, nxt_nom)
             cn = m3n[:, 1]
             shiftn = jnp.where(
                 cn + 1e-3 >= jnp.max(m3n, axis=1),
                 0, jnp.argmax(m3n, axis=1).astype(jnp.int32) - 1,
             )
             nxt = nxt_nom + shiftn
-            next_hdr = jax.vmap(
-                lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (90, 2))
-            )(symbuf, jnp.clip(nxt, 0, self.N_SYM - 90))
+            next_hdr = self._hdr_from_ext(extn, shiftn)
             next_pls = self._decode_plsc(next_hdr, corrected)
             m_next = jnp.take_along_axis(
                 m3n, (shiftn + 1)[:, None], axis=1
@@ -361,8 +365,15 @@ class VCMStreamReceiver:
                 "next_pls": next_pls, "next_hdr": next_hdr,
             }
             alive_n = alive & (nxt <= valid_lim)
-            carry = (nxt, jnp.where(alive, next_pls, pls), alive_n,
-                     next_hdr, m_next)
+            # a dead chain freezes: the first un-walked frame is the carry
+            # the next step resumes from
+            carry = (
+                jnp.where(alive, nxt, pos),
+                jnp.where(alive, next_pls, pls),
+                alive_n,
+                jnp.where(alive[:, None, None], next_hdr, own_hdr),
+                jnp.where(alive, m_next, m_own),
+            )
             return carry, out
 
         carry0 = (pos0, state["pls"], alive0, own0, m_own0)
@@ -707,7 +718,7 @@ class VCMStreamReceiver:
 
             new_state = dict(
                 state,
-                fp_right=fp_right,
+                fp_right=jnp.minimum(fp_right, self.N_SYM),
                 pls=new_pls,
                 seq=state["seq"] + counts,
                 coarse_acc=acc_f,
@@ -727,8 +738,12 @@ class VCMStreamReceiver:
                 "n_corr": jnp.stack(out_ncorr),  # (S, DRAIN, B_fec)
                 "fired": jnp.stack(out_fired),   # (S, DRAIN)
             }
+            # frame start fell off the symbol ring (e.g. a channel whose
+            # chain died and stopped consuming): flag for re-acquisition
+            sym_lost = fp_right > self.N_SYM - 94
             stats = {
                 "locked": locked,
+                "sym_lost": sym_lost,
                 "metric": jnp.where(
                     n_walked > 0,
                     jnp.sum(jnp.where(valid, slots["metric"], 0.0), axis=0)
@@ -890,3 +905,273 @@ class VCMStreamReceiver:
         state["agc_gain"] = np.asarray(gain_d)
         self.prime_ok = prime_ok
         return jax.device_put(state)
+
+    # ---------------- re-acquisition (device-side) ----------------
+
+    def _build_reacquire(self):
+        """Masked device-side re-acquisition from the latest raw samples
+        (the VCM analog of StreamReceiver._build_reacquire): fresh timing
+        state, dense CFO-robust metric, differential PLSC decode of the
+        found header, spliced into the carried state with masked merges.
+        CFO knowledge (rotator increment, corrected flag) survives; frame/
+        timing alignment, the chain carry, and the coarse accumulators
+        reset. Queues and seq counters are untouched — in-flight frames
+        still decode; the host reorderer skips the lost seq range."""
+        C = self.n_channels
+        n_out, n_fe = self.n_out, self._n_fe
+        cfg = self.cfg
+
+        def reacquire(state, iq_tail, mask):
+            gain = state["agc_gain"]
+            x = iq_tail * gain[:, None, None] if cfg.agc else iq_tail
+            rot, phase = jax.vmap(rotate_block)(
+                x, jnp.zeros((C,), jnp.float32), state["rot_inc"]
+            )
+            ff0 = jax.tree.map(
+                lambda v: jnp.stack([v] * C), self.sync.init_state()
+            )
+            ff2, syms, consumed = self.sync.step_batched(ff0, rot, n_out)
+            hist = jnp.zeros((C, 90, 2), jnp.float32)
+            metric = jax.vmap(
+                lambda s, h: plsync.timing_metric(s, h)[0]
+            )(syms, hist)
+            win = metric[:, : self.L_max + 90]
+            p = jnp.argmax(win, axis=1).astype(jnp.int32)
+            found = (
+                jnp.take_along_axis(win, p[:, None], axis=1)[:, 0]
+                >= plsync.THRESHOLD_UNLOCKED
+            ) & (p >= 89)
+            sof = jnp.clip(p - 89, 0, n_out - 90)
+            hdr = jax.vmap(
+                lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (90, 2))
+            )(syms, sof)
+            smask = jnp.asarray(self._search_mask)
+            pls, _ = plsync.plsc_decode_diff(hdr, enabled_mask=smask)
+
+            pad = jnp.zeros((C, self.N_SYM - n_out, 2), jnp.float32)
+            symbuf = jnp.concatenate([pad, syms], axis=1)
+            tail_pad = jnp.zeros(
+                (C, max(self.N_BUF - n_fe, 0), 2), jnp.float32
+            )
+            sbuf = jnp.concatenate([tail_pad, rot], axis=1)[:, -self.N_BUF:]
+            sfill = n_fe - consumed
+
+            ok = mask & found
+
+            def mk(new, old):
+                m_b = ok.reshape((C,) + (1,) * (old.ndim - 1))
+                return jnp.where(m_b, new, old)
+
+            zc = jnp.zeros((C,), jnp.int32)
+            new_state = dict(
+                state,
+                sbuf=mk(sbuf, state["sbuf"]),
+                sfill=mk(sfill, state["sfill"]),
+                ff_tau=mk(ff2.tau, state["ff_tau"]),
+                ff_rate=mk(ff2.rate, state["ff_rate"]),
+                ff_init=mk(ff2.initialized, state["ff_init"]),
+                rot_phase=mk(phase, state["rot_phase"]),
+                symbuf=mk(symbuf, state["symbuf"]),
+                symfill=mk(jnp.full((C,), n_out, jnp.int32),
+                           state["symfill"]),
+                fp_right=mk((n_out - sof).astype(jnp.int32),
+                            state["fp_right"]),
+                pls=mk(pls.astype(jnp.int32), state["pls"]),
+                coarse_acc=mk(jnp.zeros_like(state["coarse_acc"]),
+                              state["coarse_acc"]),
+                coarse_acc_sof=mk(jnp.zeros_like(state["coarse_acc_sof"]),
+                                  state["coarse_acc_sof"]),
+                coarse_frames=mk(zc, state["coarse_frames"]),
+                unlock_cnt=mk(zc, state["unlock_cnt"]),
+            )
+            return new_state, ok
+
+        return reacquire
+
+    def reacquire(self, state, iq_tail, mask):
+        if self._reacquire is None:
+            self._reacquire = jax.jit(
+                self._build_reacquire(), donate_argnums=0
+            )
+        return self._reacquire(state, iq_tail, mask)
+
+
+class VCMStreamEngine:
+    """Product host receiver around ``VCMStreamReceiver``: chunked input,
+    soft priming, automatic re-acquisition, per-channel seq-ordered TS
+    stitching — the ACM/VCM counterpart of ``rx.stream.StreamEngine``
+    (same ``receive()/get_stats()`` surface as the host receivers)."""
+
+    def __init__(self, cfg: RxConfig, n_channels: int = 1,
+                 frames_per_step: int = 2, fec_lanes: int = None,
+                 gap_skip_steps: int = 8):
+        from ..spec.bb_frame import BBFrameParser
+        from .receiver import Receiver
+
+        self.cfg = cfg
+        self.sr = VCMStreamReceiver(
+            cfg, n_channels=n_channels, frames_per_step=frames_per_step,
+            fec_lanes=fec_lanes,
+        )
+        self.n_channels = C = n_channels
+        self.stats = RxStats()
+        self._get_stats_impl = Receiver.get_stats
+        self.bb_parsers = [BBFrameParser() for _ in range(C)]
+        self.bb_parser = self.bb_parsers[0]
+        self._buf = np.empty((C, 0), np.complex64)
+        self._primed = False
+        self.state = None
+        self._was_locked = np.zeros((C,), bool)
+        # per-channel seq-ordered delivery
+        self._reorder = [dict() for _ in range(C)]
+        self._next_seq = np.zeros((C,), np.int64)
+        self._blocked = np.zeros((C,), np.int32)
+        self._gap_skip_steps = gap_skip_steps
+        self.gaps_skipped = 0
+        # re-acquisition policy (rolling raw-block history, like
+        # StreamSession)
+        self._blk_hist = []
+        self._nblk = int(np.ceil(self.sr._n_fe / self.sr.n_in)) + 1
+        self.need = np.zeros((C,), bool)
+        self.reacquired = 0
+
+    def get_stats(self, sym_rate: float = None) -> dict:
+        return self._get_stats_impl(self, sym_rate)
+
+    # ---- output handling ----
+
+    def _ingest(self, outputs):
+        kb = np.asarray(outputs["kb"])          # (S, DRAIN, B, kb_max)
+        meta = np.asarray(outputs["meta"])
+        ncorr = np.asarray(outputs["n_corr"])
+        fired = np.asarray(outputs["fired"])
+        s = self.stats
+        for si in range(self.sr.S):
+            for d in range(self.sr.DRAIN):
+                if not fired[si, d]:
+                    continue
+                self._ingest_batch(si, kb[si, d], meta[si, d], ncorr[si, d])
+
+    def _ingest_batch(self, si, kb, meta, ncorr):
+        s = self.stats
+        n = kb.shape[0]
+        s.ldpc_frames += n
+        s.bch_frames += n
+        s.bch_frame_errors += int(np.sum(ncorr < 0))
+        s.bch_corrections += int(np.sum(np.maximum(ncorr, 0)))
+        nbytes = self.sr._fecs[si].kbch // 8
+        scr = self.sr.bb_scramble[si]
+        for i in range(n):
+            c, seq = int(meta[i, 0]), int(meta[i, 1])
+            self._reorder[c][seq] = kb[i, :nbytes] ^ scr
+        return n
+
+    def _deliver(self):
+        """Pop contiguous seq runs per channel into the BB parsers."""
+        out = [[] for _ in range(self.n_channels)]
+        for c in range(self.n_channels):
+            buf = self._reorder[c]
+            progressed = True
+            while progressed:
+                progressed = False
+                nxt = int(self._next_seq[c])
+                if nxt in buf:
+                    out[c].append(self.bb_parsers[c].push(buf.pop(nxt)))
+                    self._next_seq[c] += 1
+                    self._blocked[c] = 0
+                    progressed = True
+                elif buf and self._blocked[c] >= self._gap_skip_steps:
+                    # frames lost to a re-acquisition (or rejected): skip
+                    # forward; the BB parser re-syncs via SYNCD
+                    self._next_seq[c] = min(buf)
+                    self.gaps_skipped += 1
+                    progressed = True
+            if buf:
+                self._blocked[c] += 1
+        return out
+
+    def _update_stats(self, stats):
+        s = self.stats
+        locked = np.asarray(stats["locked"])
+        now_locked = bool(locked.all())
+        if now_locked and not s.locked:
+            s.lock_cnt += 1
+            s.lock_time = time.time()
+        if (~locked & self._was_locked).any():
+            s.unlock_cnt += int((~locked & self._was_locked).sum())
+        self._was_locked = locked
+        s.locked = now_locked
+        s.frame_cnt += int(stats["frames"])
+        s.sof_cnt += int(np.sum(np.asarray(stats["n_walked"])))
+        s.dummy_cnt += int(stats["dummies"])
+        s.rejected_cnt += int(stats["rejected"])
+        s.coarse_foffset = float(np.asarray(stats["coarse_foffset"])[0])
+        s.fine_foffset = float(np.asarray(stats["fine_foffset"])[0])
+        s.cum_freq_offset = float(np.asarray(stats["cum_foffset"])[0])
+        s.coarse_corrected = bool(
+            np.asarray(stats["coarse_corrected"]).all()
+        )
+        n0 = float(np.asarray(stats["n0"])[0])
+        if n0 > 0:
+            s.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
+        s.ldpc_total_iters += int(stats["ldpc_iters"])
+
+    # ---- the host loop ----
+
+    def receive(self, iq: np.ndarray, flush: bool = True):
+        """Process IQ samples; returns TS bytes (flat array single-channel,
+        list of arrays multi-channel)."""
+        iq = np.asarray(iq, dtype=np.complex64)
+        if iq.ndim == 1:
+            iq = iq[None]
+        if iq.shape[0] != self.n_channels:
+            raise ValueError(f"expected {self.n_channels} channel rows")
+        self._buf = np.concatenate([self._buf, iq], axis=1)
+        sr = self.sr
+        ts = [[] for _ in range(self.n_channels)]
+
+        if not self._primed and self._buf.shape[1] >= sr._n_fe:
+            self.state = sr.prime(self._buf[:, : sr._n_fe], strict=False)
+            self.need = ~sr.prime_ok
+            self._buf = self._buf[:, sr._n_fe:]
+            self._primed = True
+
+        while self._primed and self._buf.shape[1] >= sr.n_in:
+            blk = cplx.from_np(self._buf[:, : sr.n_in]).astype(np.float32)
+            self._buf = self._buf[:, sr.n_in:]
+            dblk = jnp.asarray(blk)
+            self._blk_hist.append(dblk)
+            if len(self._blk_hist) > self._nblk:
+                self._blk_hist.pop(0)
+            self.state, outputs, stats = sr.step(self.state, dblk)
+            self._update_stats(stats)
+            self._ingest(outputs)
+            for c, parts in enumerate(self._deliver()):
+                ts[c].extend(parts)
+            self.need |= ~np.asarray(stats["locked"])
+            self.need |= np.asarray(stats["underflow"])
+            self.need |= np.asarray(stats["overflow"])
+            self.need |= np.asarray(stats["sym_lost"])
+            have = sum(b.shape[1] for b in self._blk_hist)
+            if self.need.any() and have >= sr._n_fe:
+                tail = jnp.concatenate(self._blk_hist, axis=1)[:, -sr._n_fe:]
+                self.state, ok = sr.reacquire(
+                    self.state, tail, jnp.asarray(self.need)
+                )
+                ok = np.asarray(ok)
+                self.reacquired += int(ok.sum())
+                self.need &= ~ok
+
+        if flush and self._primed:
+            self.state, rem = sr.flush(self.state)
+            for si, taken in enumerate(rem):
+                for kb, md, nc in taken:
+                    self._ingest_batch(si, kb, md, nc)
+            # final delivery: skip any unfilled gaps
+            self._blocked[:] = self._gap_skip_steps
+            for c, parts in enumerate(self._deliver()):
+                ts[c].extend(parts)
+        out = [
+            np.concatenate(t) if t else np.empty(0, np.uint8) for t in ts
+        ]
+        return out[0] if self.n_channels == 1 else out

@@ -1,0 +1,223 @@
+"""Device-resident VCM stream engine tests (rx/vcm_stream.py).
+
+The ACM/VCM analog of tests/test_stream.py: the decoded-PLS chain walk,
+pooled per-PLS FEC queues, seq-ordered delivery, CFO pull-in via the
+differential PLSC decode, and dropout re-acquisition — all through the
+single jitted step."""
+
+import numpy as np
+import pytest
+
+from dvbs2rx_tpu.tx import TxConfig
+from dvbs2rx_tpu.tx.transmitter import awgn_channel
+from dvbs2rx_tpu.tx.vcm import VCMTransmitter
+from dvbs2rx_tpu.rx.receiver import RxConfig
+from dvbs2rx_tpu.rx.vcm_stream import VCMStreamEngine, VCMStreamReceiver
+from dvbs2rx_tpu.spec.pls import make_pls
+
+from tests.test_e2e_loopback import make_ts, check_ts_subset
+
+PLS_A = make_pls(4, True, False)     # qpsk1/2 short
+PLS_B = make_pls(5, True, False)     # qpsk3/5 short
+PLS_C = make_pls(13, True, False)    # 8psk2/3 short
+PLS_AP = make_pls(4, True, True)     # qpsk1/2 short, pilots
+
+CFGS = {
+    PLS_A: TxConfig(modcod="qpsk1/2", frame_size="short"),
+    PLS_B: TxConfig(modcod="qpsk3/5", frame_size="short"),
+    PLS_C: TxConfig(modcod="8psk2/3", frame_size="short"),
+    PLS_AP: TxConfig(modcod="qpsk1/2", frame_size="short", pilots=True),
+}
+
+
+def vcm_waveform(pls_seq, schedule, n_pkts=400, esn0_db=15.0, seed=0,
+                 freq_offset=0.0):
+    vtx = VCMTransmitter([CFGS[p] for p in pls_seq])
+    ts_in = make_ts(n_pkts, seed=seed)
+    iq = vtx.ts_to_iq(ts_in, schedule)
+    iq = awgn_channel(iq, esn0_db, sps=2, seed=seed + 1,
+                      freq_offset=freq_offset)
+    return ts_in, iq
+
+
+def engine(pls_expected, C=1, pls_list=(), **kw):
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+                   pls_expected=tuple(pls_expected),
+                   pls_list=tuple(pls_list), **kw)
+    return VCMStreamEngine(cfg, n_channels=C, frames_per_step=2,
+                           fec_lanes=8)
+
+
+def test_vcm_stream_two_modcods():
+    """Alternating QPSK 1/2 + 3/5 short frames through the device walk."""
+    ts_in, iq = vcm_waveform((PLS_A, PLS_B), [0, 1])
+    eng = engine((PLS_A, PLS_B))
+    ts_out = eng.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=300)
+    assert eng.stats.bch_frame_errors == 0
+    assert eng.stats.unlock_cnt == 0
+    assert eng.stats.frame_cnt >= 60
+    assert eng.gaps_skipped == 0
+
+
+def test_vcm_stream_multichannel_matches_single():
+    """C channels with DIFFERENT streams decode like single engines (the
+    pooled FEC queues mix channels; per-lane convergence freezing keeps
+    per-frame results composition-independent)."""
+    streams = [
+        vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=260, seed=10 + c)
+        for c in range(3)
+    ]
+    n = min(iq.size for _, iq in streams)
+    iq = np.stack([iq[:n] for _, iq in streams])
+    multi = engine((PLS_A, PLS_B), C=3)
+    outs = multi.receive(iq)
+    for c in range(3):
+        single = engine((PLS_A, PLS_B))
+        ref = single.receive(iq[c])
+        np.testing.assert_array_equal(outs[c], ref,
+                                      err_msg=f"channel {c} diverged")
+        check_ts_subset(streams[c][0], outs[c], min_packets=150)
+
+
+def test_vcm_stream_dummy_frames():
+    """Dummy PLFRAMEs are walked at line rate, counted, not queued."""
+    ts_in, iq = vcm_waveform((PLS_A, PLS_B), [0, -1, 1, -1], seed=3)
+    eng = engine((PLS_A, PLS_B))
+    ts_out = eng.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=250)
+    assert eng.stats.dummy_cnt >= 10
+    assert eng.stats.bch_frame_errors == 0
+
+
+def test_vcm_stream_mixed_constellations():
+    """QPSK and 8PSK interleaved: per-PLS static demap geometry + two
+    pooled FEC queues draining at different cadences (exercises the host
+    reorderer)."""
+    ts_in, iq = vcm_waveform((PLS_A, PLS_C), [0, 1], esn0_db=16.0, seed=9)
+    eng = engine((PLS_A, PLS_C))
+    ts_out = eng.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=250)
+    assert eng.stats.bch_frame_errors == 0
+    assert eng.gaps_skipped == 0
+
+
+def test_vcm_stream_pls_filter_rejects():
+    """Frames outside pls_list are rejected and counted; their length
+    still drives the chain walk so accepted frames keep decoding."""
+    ts_in, iq = vcm_waveform((PLS_A, PLS_B), [0, 1], seed=5)
+    eng = engine((PLS_A, PLS_B), pls_list=(PLS_A,))
+    ts_out = eng.receive(iq)
+    assert eng.stats.rejected_cnt >= 10
+    assert eng.stats.frame_cnt >= 20
+    # accepted frames decode to valid input packets (TS has gaps at
+    # rejections)
+    in_pkts = {ts_in[i * 188:(i + 1) * 188].tobytes()
+               for i in range(ts_in.size // 188)}
+    hits = sum(
+        ts_out[i * 188:(i + 1) * 188].tobytes() in in_pkts
+        for i in range(ts_out.size // 188)
+    )
+    assert hits >= 20
+
+
+def test_vcm_stream_chunked_receive():
+    """Chunked receive() is identical to one-shot (carry across calls)."""
+    ts_in, iq = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=260, seed=11)
+    one = engine((PLS_A, PLS_B))
+    ref = one.receive(iq)
+    chunked = engine((PLS_A, PLS_B))
+    outs = []
+    for i in range(0, iq.size, 70000):
+        outs.append(chunked.receive(iq[i: i + 70000], flush=False))
+    outs.append(chunked.receive(np.empty(0, np.complex64), flush=True))
+    got = np.concatenate(outs)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_vcm_stream_cfo_pull_in():
+    """CFO at 60x the fine range: the differential PLSC decode keeps the
+    chain walk alive while SOF-only coarse accumulation pulls the rotator
+    in; steady state decodes bit-exact (the walk's pull-in
+    chicken-and-egg, solved the reference's way: pl_signaling.cc
+    differential mode)."""
+    ts_in, iq = vcm_waveform((PLS_AP,), [0], n_pkts=700, esn0_db=13.0,
+                             seed=31, freq_offset=0.01)
+    eng = engine((PLS_AP,), coarse_period=10)
+    ts_out = eng.receive(iq)
+    assert eng.stats.coarse_corrected
+    assert abs(eng.stats.cum_freq_offset - 0.02) < 5e-4
+    check_ts_subset(ts_in, ts_out, min_packets=100)
+
+
+def test_vcm_stream_dropout_relock():
+    """Mid-stream dropout: unlock via weak walk metrics, device-side
+    masked re-acquisition from the rolling raw-block history, seq-gap
+    skip in the host reorderer."""
+    ts_a, iq_a = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=300, seed=71)
+    ts_b, iq_b = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=300, seed=72)
+    rng = np.random.default_rng(75)
+    gap_len = 120000
+    gap = (0.2 * (rng.normal(size=gap_len) + 1j * rng.normal(size=gap_len))
+           / np.sqrt(2)).astype(np.complex64)
+    iq = np.concatenate([iq_a, gap, iq_b])
+    eng = engine((PLS_A, PLS_B))
+    ts_out = eng.receive(iq)
+    assert eng.stats.unlock_cnt >= 1 or eng.reacquired >= 1
+    assert eng.reacquired >= 1
+    out_pkts = ts_out.reshape(-1, 188)
+    in_b = ts_b.reshape(-1, 188)
+    hits_b = sum((in_b == p).all(axis=1).any() for p in out_pkts)
+    assert hits_b >= 100, f"only {hits_b} packets from the post-gap burst"
+
+
+def test_vcm_stream_clock_offset():
+    """±40 ppm symbol-clock offset: ffsync slips absorbed by the walk's
+    per-header 3-point discriminator."""
+    ts_in, iq0 = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=400, seed=81)
+    ppm = 40e-6
+    t_out = np.arange(int(iq0.size / (1 + ppm))) * (1 + ppm)
+    base = np.arange(iq0.size)
+    iq = (np.interp(t_out, base, iq0.real)
+          + 1j * np.interp(t_out, base, iq0.imag)).astype(np.complex64)
+    eng = engine((PLS_A, PLS_B))
+    ts_out = eng.receive(iq)
+    assert eng.stats.unlock_cnt == 0, "clock drift broke the chain walk"
+    check_ts_subset(ts_in, ts_out, min_packets=250)
+
+
+def test_vcm_stream_vs_host_acm_receiver():
+    """The stream engine and the host ACMReceiver recover the same TS
+    payload from the same waveform (different batching, same math; frame
+    results are composition-independent)."""
+    from dvbs2rx_tpu.rx.receiver import ACMReceiver
+
+    ts_in, iq = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=300, seed=41)
+    eng = engine((PLS_A, PLS_B))
+    ts_s = eng.receive(iq)
+    host = ACMReceiver(RxConfig(
+        modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+        pls_expected=(PLS_A, PLS_B), fec_batch=4,
+    ))
+    ts_h = host.receive(iq)
+    n_s = check_ts_subset(ts_in, ts_s, min_packets=200)
+    n_h = check_ts_subset(ts_in, ts_h, min_packets=200)
+    # both recover essentially the whole stream (alignment may differ by
+    # the acquisition prefix)
+    assert abs(n_s - n_h) <= 12
+
+
+def test_vcm_stream_rejects_bad_config():
+    with pytest.raises(ValueError):
+        VCMStreamReceiver(
+            RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True),
+            n_channels=1,
+        )  # no expected PLS set
+    with pytest.raises(ValueError):
+        VCMStreamReceiver(
+            RxConfig(
+                modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+                pls_expected=(PLS_A, make_pls(4, False, False)),
+            ),
+            n_channels=1,
+        )  # mixed frame-size classes
