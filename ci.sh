@@ -19,3 +19,14 @@ python -c "import jax, numpy, pytest" || {
 MARK=()
 if [[ "${FAST:-0}" == "1" ]]; then MARK=(-m "not slow"); fi
 JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}" python -m pytest tests/ -q "${MARK[@]}" "$@"
+
+# on-hardware tier (tests/test_tpu_hw.py): compiled Pallas kernels + real
+# stream steps, run only when a TPU is actually reachable
+if DVBS2RX_TEST_TPU=1 python -c \
+    "import jax,sys; sys.exit(0 if jax.devices()[0].platform=='tpu' else 1)" \
+    2>/dev/null; then
+    echo "TPU detected: running the on-hardware tier (-m tpu)"
+    DVBS2RX_TEST_TPU=1 python -m pytest tests/ -q -m tpu "$@"
+else
+    echo "no TPU reachable: skipping the on-hardware tier"
+fi

@@ -31,6 +31,8 @@ Reference mapping: the host loop of ``Receiver._process_frames``
 re-expressed as masked vector updates over the channel axis.
 """
 
+import queue as _queue
+import threading
 import time
 from dataclasses import dataclass
 
@@ -40,6 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import cplx, plsync
+from ..ops.crc8_dev import packet_validity
 from ..ops.demap import quantize_llrs
 from ..ops.ffsync import FeedForwardSync, FFSyncState
 from ..ops.frontend import rotate_block
@@ -280,6 +283,14 @@ class StreamReceiver:
             kbytes, n_corr, iters, ok, hard_t = (
                 self._rx._fec_stage_lane_major_impl(llrsT)
             )
+            # device-side TS preparation (VERDICT r3 item 6, SURVEY §7
+            # layer 5): per-packet CRC-8 validity + BBHEADER validity
+            # computed here on the descrambled bytes, so the host stitch
+            # is a flag lookup + memcpy instead of a per-byte CRC loop.
+            # kbytes itself stays scrambled (the step's output contract).
+            ts_ok, hdr_ok = packet_validity(
+                kbytes ^ jnp.asarray(self._rx._bb_scramble)[None]
+            )
 
             # ---- post-decoder SNR refinement (frame 0 of each channel,
             # reference xfecframe_demapper LLR-PDU loop) ----
@@ -392,6 +403,8 @@ class StreamReceiver:
                 "coarse_corrected": corrected,
                 "cum_foffset": cum,
                 "fp": fp,
+                "ts_ok": ts_ok.reshape(C, F, -1),
+                "hdr_ok": hdr_ok.reshape(C, F),
                 "sfill": new_state["sfill"],
                 "overflow": overflow,       # per-channel, like underflow: an
                                             # overflowed channel dropped
@@ -740,8 +753,20 @@ class StreamEngine:
         self._buf = np.empty((n_channels, 0), np.complex64)
         self._primed = False
         self._was_locked = np.zeros((n_channels,), bool)
-        self._pending = []                       # lagged (kbytes) readbacks
-        self._lag = 2
+        # asynchronous TS readback (VERDICT r3 item 5): device->host
+        # fetches + BB stitching run on a dedicated reader thread, so the
+        # step-feeding thread never blocks on a d2h transfer and sustained
+        # throughput is bounded by max(compute, d2h) instead of their sum
+        # (the reference gets the same concurrency for free from its
+        # thread-per-block scheduler, lib/bbdeheader_bb_impl.cc). A
+        # bounded queue backpressures the feeder if d2h falls behind.
+        self._fetchq = _queue.Queue(maxsize=4)
+        self._done = []                          # stitched per-channel TS
+        self._done_lock = threading.Lock()
+        self._reader_err = None
+        self._reader = threading.Thread(target=self._reader_loop,
+                                        daemon=True)
+        self._reader.start()
 
     # -- Receiver-compatible surface --
 
@@ -777,17 +802,49 @@ class StreamEngine:
         s.ldpc_frames += C * F
         s.ldpc_total_iters += int(stats["ldpc_iters"]) * C * F
 
-    def _stitch(self, kb_np):
-        """BBFRAME bytes (C, F, kbch/8) -> per-channel TS byte arrays."""
+    def _stitch(self, kb_np, ok_np=None, hdr_np=None):
+        """BBFRAME bytes (C, F, kbch/8) -> per-channel TS byte arrays.
+        With the device-computed validity maps, the per-packet CRC work is
+        already done (VERDICT r3 item 6)."""
         out = []
         for c in range(self.n_channels):
             parts = [
-                self.bb_parsers[c].push(kb_np[c, f] ^ self._scr)
+                self.bb_parsers[c].push(
+                    kb_np[c, f] ^ self._scr,
+                    pkt_ok=None if ok_np is None else ok_np[c, f],
+                    hdr_ok=None if hdr_np is None else bool(hdr_np[c, f]),
+                )
                 for f in range(self.sr.F)
             ]
             out.append(np.concatenate(parts) if parts
                        else np.empty(0, np.uint8))
         return out
+
+    def _reader_loop(self):
+        while True:
+            item = self._fetchq.get()
+            if item is None:
+                self._fetchq.task_done()
+                return
+            kb, ts_ok, hdr_ok = item
+            try:
+                parts = self._stitch(np.asarray(kb), np.asarray(ts_ok),
+                                     np.asarray(hdr_ok))
+                with self._done_lock:
+                    self._done.append(parts)
+            except BaseException as e:   # surface on the feeding thread
+                self._reader_err = e
+            finally:
+                self._fetchq.task_done()
+
+    def _drain_done(self, ts):
+        if self._reader_err is not None:
+            raise self._reader_err
+        with self._done_lock:
+            done, self._done = self._done, []
+        for parts in done:
+            for c, t in enumerate(parts):
+                ts[c].append(t)
 
     def receive(self, iq: np.ndarray, flush: bool = True):
         """Process IQ samples; returns recovered TS bytes (flat uint8 array
@@ -817,18 +874,13 @@ class StreamEngine:
             self._buf = self._buf[:, sr.n_in:]
             kb, stats = self.sess.step(blk)
             self._update_stats(stats)
-            self._pending.append(kb)
-            if len(self._pending) > self._lag:
-                for c, t in enumerate(
-                    self._stitch(np.asarray(self._pending.pop(0)))
-                ):
-                    ts[c].append(t)
+            # hand the device arrays to the reader thread; the d2h fetch
+            # and TS stitch overlap the next steps' compute
+            self._fetchq.put((kb, stats["ts_ok"], stats["hdr_ok"]))
+            self._drain_done(ts)
         if flush:
-            while self._pending:
-                for c, t in enumerate(
-                    self._stitch(np.asarray(self._pending.pop(0)))
-                ):
-                    ts[c].append(t)
+            self._fetchq.join()          # all in-flight fetches stitched
+            self._drain_done(ts)
         out = [
             np.concatenate(t) if t else np.empty(0, np.uint8) for t in ts
         ]

@@ -183,10 +183,24 @@ class VCMStreamReceiver:
             bb_derandomizer_bytes(f.kbch // 8) for f in self._fecs
         ]
 
-        self.raw_step = self._build_step()
-        self.step = jax.jit(self.raw_step, donate_argnums=0)
+        # The step is TWO jitted programs: A = front end + chain walk +
+        # demap + control (everything but FEC), B = queue append + pooled
+        # FEC drains. One fused program exceeds this environment's
+        # remote-compile upload limit (the B half embeds one compiled
+        # Pallas LDPC kernel per expected PLS); the split costs one extra
+        # dispatch per step, which pipelines away in the sustained loop.
+        step_a, step_b = self._build_step()
+        self._step_a = jax.jit(step_a, donate_argnums=0)
+        self._step_b = jax.jit(step_b, donate_argnums=(0, 1, 2))
         self._flush_fns = None
         self._reacquire = None
+
+    def step(self, state, iq):
+        """One VCM stream step: (state, iq (C, n_in, 2)) ->
+        (state', outputs, stats)."""
+        state, llr8, meta, sels, stats = self._step_a(state, iq)
+        state, outputs, stats_b = self._step_b(state, llr8, meta, sels)
+        return state, outputs, {**stats, **stats_b}
 
     # ---------------- state ----------------
 
@@ -467,7 +481,7 @@ class VCMStreamReceiver:
         fec_branches = [self._fec_branch(si) for si in range(S)]
         pls_arr = np.asarray(self.pls_set, np.int32)
 
-        def step(state, iq):
+        def step_a(state, iq):
             state, overflow, underflow = self._frontend(state, iq)
             symbuf = state["symbuf"]
             # the append moved every buffered symbol left by n_out
@@ -548,7 +562,6 @@ class VCMStreamReceiver:
                 n0 = jnp.where(sel, out["n0"], n0)
             llr8 = quantize_llrs(llr)                    # (N, B) int8
 
-            # ---- queue append + conditional pooled decode per PLS ----
             meta = jnp.stack(
                 [
                     jnp.repeat(jnp.arange(C, dtype=jnp.int32), FP),
@@ -556,89 +569,20 @@ class VCMStreamReceiver:
                 ],
                 axis=1,
             )                                            # (B, 2)
-            qllr, qmeta, qfill = state["qllr"], state["qmeta"], state["qfill"]
-            out_kb = []
-            out_meta = []
-            out_ncorr = []
-            out_fired = []
-            ldpc_iters = jnp.int32(0)
-            for si in range(S):
-                sel = sel_s[si]
-                n_s = jnp.sum(sel.astype(jnp.int32))
-                # stable compaction of selected lanes to the front
-                lrank = jnp.cumsum(sel.astype(jnp.int32)) - 1
-                perm = (
-                    sel[:, None]
-                    & (lrank[:, None] == jnp.arange(B)[None, :])
-                ).astype(jnp.float32)                    # (B, B)
-                comp = jnp.matmul(
-                    llr8.astype(jnp.float32), perm,
-                    precision=jax.lax.Precision.HIGHEST,
-                ).astype(jnp.int8)                       # (N, B)
-                compm = jnp.matmul(
-                    perm.T, meta.astype(jnp.float32),
-                    precision=jax.lax.Precision.HIGHEST,
-                ).astype(jnp.int32)                      # (B, 2)
-                q = jax.lax.dynamic_update_slice(
-                    qllr[si], comp, (0, qfill[si])
-                )
-                qm = jax.lax.dynamic_update_slice(
-                    qmeta[si], compm, (qfill[si], 0)
-                )
-                fill = qfill[si] + n_s
-
-                kb_d, meta_d, nc_d, fired_d = [], [], [], []
-                for _ in range(self.DRAIN):
-                    fire = fill >= self.B_fec
-
-                    def decode(q, qm, fill):
-                        kb, nc, iters = fec_branches[si](
-                            q[:, : self.B_fec]
-                        )
-                        q2 = jnp.concatenate(
-                            [q[:, self.B_fec:],
-                             jnp.zeros((self.n_ldpc, self.B_fec), jnp.int8)],
-                            axis=1,
-                        )
-                        qm2 = jnp.concatenate(
-                            [qm[self.B_fec:],
-                             jnp.zeros((self.B_fec, 2), jnp.int32)],
-                            axis=0,
-                        )
-                        return (kb, qm[: self.B_fec], nc, iters, q2, qm2,
-                                fill - self.B_fec)
-
-                    def skip(q, qm, fill):
-                        return (
-                            jnp.zeros((self.B_fec, self.kb_max), jnp.uint8),
-                            jnp.zeros((self.B_fec, 2), jnp.int32),
-                            jnp.zeros((self.B_fec,), jnp.int32),
-                            jnp.int32(0), q, qm, fill,
-                        )
-
-                    kb, md, nc, iters, q, qm, fill = jax.lax.cond(
-                        fire, decode, skip, q, qm, fill
-                    )
-                    kb_d.append(kb)
-                    meta_d.append(md)
-                    nc_d.append(nc)
-                    fired_d.append(fire)
-                    ldpc_iters = jnp.maximum(ldpc_iters, iters)
-                qllr = qllr.at[si].set(q)
-                qmeta = qmeta.at[si].set(qm)
-                qfill = qfill.at[si].set(fill)
-                out_kb.append(jnp.stack(kb_d))
-                out_meta.append(jnp.stack(meta_d))
-                out_ncorr.append(jnp.stack(nc_d))
-                out_fired.append(jnp.stack(fired_d))
+            sels = jnp.stack(sel_s)                      # (S, B)
 
             # ---- lock maintenance over walked slots ----
-            unlock = state["unlock_cnt"]
-            for k in range(K):
-                m_ok = slots["metric"][k] > plsync.THRESHOLD_LOCKED
-                unlock = jnp.where(
-                    valid[k], jnp.where(m_ok, 0, unlock + 1), unlock
-                )
+            def ul_body(u, x):
+                act, m = x
+                return jnp.where(
+                    act,
+                    jnp.where(m > plsync.THRESHOLD_LOCKED, 0, u + 1),
+                    u,
+                ), None
+
+            unlock, _ = jax.lax.scan(
+                ul_body, state["unlock_cnt"], (valid, slots["metric"])
+            )
             locked = unlock < cfg.unlock_thresh
 
             # ---- coarse CFO accumulation (SOF-only until corrected,
@@ -651,26 +595,18 @@ class VCMStreamReceiver:
                 slots["own_hdr"].reshape(K * C, 90, 2),
                 pls_s.reshape(K * C), full=False,
             ).reshape(K, C, 25, 2)
-            acc_f = state["coarse_acc"]
-            acc_s = state["coarse_acc_sof"]
-            cf = state["coarse_frames"]
-            settle = state["settle"]
-            corrected = state["coarse_corrected"]
-            coarse_est = state["coarse_foffset"]
-            new_coarse = jnp.zeros((C,), bool)
-            for k in range(K):
-                act = valid[k]
+            def coarse_body(carry, x):
+                acc_f, acc_s, cf, settle, corrected, coarse_est, nc = carry
+                act, r_f, r_s = x
                 in_settle = settle > 0
                 settle = jnp.where(act & in_settle, settle - 1, settle)
                 skip_k = (~act) | (in_settle & (~corrected))
                 use_full = corrected
                 acc_f = jnp.where(
-                    (skip_k | ~use_full)[:, None, None],
-                    acc_f, acc_f + r_full[k],
+                    (skip_k | ~use_full)[:, None, None], acc_f, acc_f + r_f
                 )
                 acc_s = jnp.where(
-                    (skip_k | use_full)[:, None, None],
-                    acc_s, acc_s + r_sof[k],
+                    (skip_k | use_full)[:, None, None], acc_s, acc_s + r_s
                 )
                 cf = jnp.where(skip_k, cf, cf + 1)
                 fire = cf >= cfg.coarse_period
@@ -686,7 +622,18 @@ class VCMStreamReceiver:
                 acc_f = jnp.where(fire[:, None, None], 0.0, acc_f)
                 acc_s = jnp.where(fire[:, None, None], 0.0, acc_s)
                 cf = jnp.where(fire, 0, cf)
-                new_coarse = new_coarse | fire
+                return (acc_f, acc_s, cf, settle, corrected, coarse_est,
+                        nc | fire), None
+
+            (acc_f, acc_s, cf, settle, corrected, coarse_est, new_coarse), \
+                _ = jax.lax.scan(
+                    coarse_body,
+                    (state["coarse_acc"], state["coarse_acc_sof"],
+                     state["coarse_frames"], state["settle"],
+                     state["coarse_corrected"], state["coarse_foffset"],
+                     jnp.zeros((C,), bool)),
+                    (valid, r_full, r_sof),
+                )
 
             # ---- closed-loop rotator update (block granular) ----
             fine_cf = fine.reshape(C, FP)
@@ -730,14 +677,7 @@ class VCMStreamReceiver:
                 settle=settle,
                 rot_inc=rot_inc,
                 unlock_cnt=unlock,
-                qllr=qllr, qmeta=qmeta, qfill=qfill,
             )
-            outputs = {
-                "kb": jnp.stack(out_kb),         # (S, DRAIN, B_fec, kb_max)
-                "meta": jnp.stack(out_meta),     # (S, DRAIN, B_fec, 2)
-                "n_corr": jnp.stack(out_ncorr),  # (S, DRAIN, B_fec)
-                "fired": jnp.stack(out_fired),   # (S, DRAIN)
-            }
             # frame start fell off the symbol ring (e.g. a channel whose
             # chain died and stopped consuming): flag for re-acquisition
             sym_lost = fp_right > self.N_SYM - 94
@@ -759,16 +699,104 @@ class VCMStreamReceiver:
                 "cum_foffset": cum,
                 "fine_foffset": fine_last,
                 "n0": n0.reshape(C, FP)[:, 0],
-                "qfill": qfill,
                 "seq": new_state["seq"],
                 "fp_right": fp_right,
                 "overflow": overflow,
                 "underflow": underflow,
-                "ldpc_iters": ldpc_iters,
             }
-            return new_state, outputs, stats
+            return new_state, llr8, meta, sels, stats
 
-        return step
+        def step_b(state, llr8, meta, sels):
+            """Queue append + pooled per-PLS FEC drains (the half that
+            embeds the Pallas LDPC kernels)."""
+            qllr, qmeta, qfill = (
+                state["qllr"], state["qmeta"], state["qfill"]
+            )
+            out_kb, out_meta, out_ncorr, out_fired = [], [], [], []
+            ldpc_iters = jnp.int32(0)
+            for si in range(S):
+                sel = sels[si]
+                n_s = jnp.sum(sel.astype(jnp.int32))
+                # stable compaction of selected lanes to the front (exact
+                # one-hot permutation matmul; lane gathers serialize)
+                lrank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+                perm = (
+                    sel[:, None]
+                    & (lrank[:, None] == jnp.arange(B)[None, :])
+                ).astype(jnp.float32)                    # (B, B)
+                comp = jnp.matmul(
+                    llr8.astype(jnp.float32), perm,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int8)                       # (N, B)
+                compm = jnp.matmul(
+                    perm.T, meta.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int32)                      # (B, 2)
+                q = jax.lax.dynamic_update_slice(
+                    qllr[si], comp, (0, qfill[si])
+                )
+                qm = jax.lax.dynamic_update_slice(
+                    qmeta[si], compm, (qfill[si], 0)
+                )
+                fill = qfill[si] + n_s
+
+                def decode(q, qm, fill, _si=si):
+                    kb, nc, iters = fec_branches[_si](
+                        q[:, : self.B_fec]
+                    )
+                    q2 = jnp.concatenate(
+                        [q[:, self.B_fec:],
+                         jnp.zeros((self.n_ldpc, self.B_fec), jnp.int8)],
+                        axis=1,
+                    )
+                    qm2 = jnp.concatenate(
+                        [qm[self.B_fec:],
+                         jnp.zeros((self.B_fec, 2), jnp.int32)],
+                        axis=0,
+                    )
+                    return (kb, qm[: self.B_fec], nc, iters, q2, qm2,
+                            fill - self.B_fec)
+
+                def skip(q, qm, fill):
+                    return (
+                        jnp.zeros((self.B_fec, self.kb_max), jnp.uint8),
+                        jnp.zeros((self.B_fec, 2), jnp.int32),
+                        jnp.zeros((self.B_fec,), jnp.int32),
+                        jnp.int32(0), q, qm, fill,
+                    )
+
+                def drain_body(carry, _):
+                    q, qm, fill = carry
+                    fire = fill >= self.B_fec
+                    kb, md, nc, iters, q, qm, fill = jax.lax.cond(
+                        fire, decode, skip, q, qm, fill
+                    )
+                    return (q, qm, fill), (kb, md, nc, fire, iters)
+
+                (q, qm, fill), (kb_d, meta_d, nc_d, fired_d, it_d) = \
+                    jax.lax.scan(
+                        drain_body, (q, qm, fill), None, length=self.DRAIN
+                    )
+                ldpc_iters = jnp.maximum(ldpc_iters, jnp.max(it_d))
+                qllr = qllr.at[si].set(q)
+                qmeta = qmeta.at[si].set(qm)
+                qfill = qfill.at[si].set(fill)
+                out_kb.append(kb_d)
+                out_meta.append(meta_d)
+                out_ncorr.append(nc_d)
+                out_fired.append(fired_d)
+
+            new_state = dict(state, qllr=qllr, qmeta=qmeta, qfill=qfill)
+            outputs = {
+                "kb": jnp.stack(out_kb),         # (S, DRAIN, B_fec, kb_max)
+                "meta": jnp.stack(out_meta),     # (S, DRAIN, B_fec, 2)
+                "n_corr": jnp.stack(out_ncorr),  # (S, DRAIN, B_fec)
+                "fired": jnp.stack(out_fired),   # (S, DRAIN)
+            }
+            stats_b = {"qfill": qfill, "ldpc_iters": ldpc_iters}
+            return new_state, outputs, stats_b
+
+        return step_a, step_b
 
     # ---------------- flush ----------------
 

@@ -62,10 +62,11 @@ class BBFrameParser:
         self.partial = np.empty(0, dtype=np.uint8)
         self.stats = BBFrameStats()
 
-    def parse_header(self, frame: np.ndarray, max_dfl=None):
+    def parse_header(self, frame: np.ndarray, max_dfl=None,
+                     skip_crc=False):
         max_dfl = max_dfl if max_dfl is not None else self.max_dfl
         hdr = frame[:BB_HEADER_LENGTH_BYTES]
-        if not crc8_check(hdr):
+        if not skip_crc and not crc8_check(hdr):
             return None
         h = BBHeader(
             ts_gs=(hdr[0] >> 6) & 0x3,
@@ -88,17 +89,34 @@ class BBFrameParser:
             return None
         return h
 
-    def push(self, frame: np.ndarray) -> np.ndarray:
-        """Process one descrambled BBFRAME (kbch/8 bytes); returns TS bytes."""
+    def push(self, frame: np.ndarray, pkt_ok: np.ndarray = None,
+             hdr_ok=None) -> np.ndarray:
+        """Process one descrambled BBFRAME (kbch/8 bytes); returns TS bytes.
+
+        ``pkt_ok``/``hdr_ok``: device-precomputed CRC-8 validity
+        (``ops/crc8_dev.packet_validity``: pkt_ok is the LSB-first packed
+        per-position window-CRC map, hdr_ok the BBHEADER check). When
+        given, the stitch becomes a vectorized flag lookup + memcpy — no
+        per-byte CRC work on the host (VERDICT r3 item 6). Bit-identical
+        to the flag-less path."""
         frame = np.asarray(frame, dtype=np.uint8)
         if self.kbch_bytes is not None:
             assert frame.size == self.kbch_bytes
         self.stats.bbframe_cnt += 1
-        h = self.parse_header(frame, max_dfl=frame.size * 8 - BB_HEADER_LENGTH_BITS)
+        if hdr_ok is not None and not hdr_ok:
+            self.synched = False
+            self.stats.bbframe_drop_cnt += 1
+            return np.empty(0, dtype=np.uint8)
+        h = self.parse_header(
+            frame, max_dfl=frame.size * 8 - BB_HEADER_LENGTH_BITS,
+            skip_crc=hdr_ok is not None,
+        )
         if h is None:
             self.synched = False
             self.stats.bbframe_drop_cnt += 1
             return np.empty(0, dtype=np.uint8)
+        if pkt_ok is not None:
+            return self._push_flagged(frame, h, pkt_ok)
 
         df = frame[BB_HEADER_LENGTH_BYTES: BB_HEADER_LENGTH_BYTES + h.dfl // 8]
         pos = 0
@@ -157,6 +175,65 @@ class BBFrameParser:
         if remaining > 0:
             self.partial = df[pos:].copy()
 
+        return (
+            np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
+        )
+
+    def _push_flagged(self, frame, h, pkt_ok):
+        """Vectorized stitch with device-precomputed packet validity."""
+        df_start = BB_HEADER_LENGTH_BYTES
+        df = frame[df_start: df_start + h.dfl // 8]
+        pos = 0
+        if self.partial.size > 0 and (
+            h.syncd // 8 != TS_PACKET_LENGTH - 1 - self.partial.size
+        ):
+            self.synched = False
+            self.stats.bbframe_gap_cnt += 1
+        if not self.synched:
+            pos = h.syncd // 8 + 1
+            self.synched = True
+            self.partial = np.empty(0, dtype=np.uint8)
+
+        out = []
+        # same completion gate as the loop path (bit-identical semantics)
+        if self.partial.size > 0 and df.size - pos >= TS_PACKET_LENGTH:
+            # the one cross-frame packet: its CRC window spans two frames,
+            # so the host checks it (187 bytes, once per frame)
+            need = TS_PACKET_LENGTH - self.partial.size
+            packet = np.concatenate([self.partial, df[pos: pos + need]])
+            self.partial = np.empty(0, dtype=np.uint8)
+            pos += need
+            ts_pkt = np.empty(TS_PACKET_LENGTH, dtype=np.uint8)
+            ts_pkt[0] = TS_SYNC_BYTE
+            ts_pkt[1:] = packet[:-1]
+            if not crc8_check(packet):
+                ts_pkt[1] |= TRANSPORT_ERROR_INDICATOR
+                self.stats.error_cnt += 1
+            self.stats.packet_cnt += 1
+            out.append(ts_pkt)
+
+        n = max(0, (df.size - pos) // TS_PACKET_LENGTH)
+        if n:
+            body = df[pos: pos + n * TS_PACKET_LENGTH].reshape(
+                n, TS_PACKET_LENGTH
+            )
+            ts = np.empty((n, TS_PACKET_LENGTH), dtype=np.uint8)
+            ts[:, 0] = TS_SYNC_BYTE
+            ts[:, 1:] = body[:, :-1]
+            # CRC byte of packet k sits at frame index
+            # df_start + pos + 187 + 188*k; look its validity up in the
+            # device-computed map (LSB-first packed)
+            idx = (df_start + pos + TS_PACKET_LENGTH - 1
+                   + TS_PACKET_LENGTH * np.arange(n))
+            okb = (pkt_ok[idx >> 3] >> (idx & 7)) & 1
+            bad = okb == 0
+            ts[bad, 1] |= TRANSPORT_ERROR_INDICATOR
+            self.stats.error_cnt += int(bad.sum())
+            self.stats.packet_cnt += n
+            pos += n * TS_PACKET_LENGTH
+            out.append(ts.reshape(-1))
+        if df.size - pos > 0:
+            self.partial = df[pos:].copy()
         return (
             np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
         )

@@ -10,6 +10,12 @@ config must be rewritten *after* importing jax and before any backend use.
 
 import os
 
+# On-hardware tier (VERDICT r3 item 4): DVBS2RX_TEST_TPU=1 keeps the real
+# TPU platform so the ``-m tpu`` tests exercise the compiled Pallas
+# kernels and the hardware stream step; everything else stays on the
+# hermetic virtual CPU mesh.
+_tpu_tier = os.environ.get("DVBS2RX_TEST_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,11 +24,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # the ambient environment sets JAX_PLATFORMS=axon; pin the env var too so
 # runtime helpers that re-apply it (respect_platform_env) agree with the
 # config update below
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _tpu_tier:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _tpu_tier:
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite is compile-dominated
 from dvbs2rx_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
