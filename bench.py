@@ -184,17 +184,25 @@ def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
     kb0 = np.asarray(kb)
 
     scr = bb_derandomizer_bytes(cfg.fec.kbch // 8)
+    from dvbs2rx_tpu.spec.bb_frame import BatchTSStitcher
+
+    stitcher = BatchTSStitcher(C)
     parsers = [BBFrameParser(cfg.fec.kbch) for _ in range(C)]
 
     def stitch(kb_np, ok_np=None, hdr_np=None):
+        # flagged: ONE descramble XOR + ONE native whole-step call (the
+        # product StreamEngine path); flag-less: the per-frame native
+        # CRC-computing loop (the r3 baseline being compared against)
+        if ok_np is not None:
+            return sum(
+                t.size
+                for t in stitcher.push_step(kb_np ^ scr[None, None],
+                                            ok_np, hdr_np)
+            )
         n = 0
         for c in range(C):
             for f in range(F):
-                n += parsers[c].push(
-                    kb_np[c, f] ^ scr,
-                    pkt_ok=None if ok_np is None else ok_np[c, f],
-                    hdr_ok=None if hdr_np is None else bool(hdr_np[c, f]),
-                ).size
+                n += parsers[c].push(kb_np[c, f] ^ scr).size
         return n
 
     kb0_np = np.asarray(kb0)

@@ -93,14 +93,44 @@ def ts_stitch(datafield: np.ndarray, partial: np.ndarray, synched: bool,
     ext = _load()
     if ext:
         ts, new_partial, n_err = ext.ts_stitch(
-            np.ascontiguousarray(datafield, np.uint8).tobytes(),
-            np.ascontiguousarray(partial, np.uint8).tobytes(),
-            bool(synched),
+            _as_buf(datafield), _as_buf(partial), bool(synched),
             int(syncd_bytes),
         )
         return (
-            np.frombuffer(ts, np.uint8).copy(),
-            np.frombuffer(new_partial, np.uint8).copy(),
+            np.frombuffer(ts, np.uint8),
+            np.frombuffer(new_partial, np.uint8),
             int(n_err),
         )
     raise NotImplementedError  # callers use BBFrameParser when unavailable
+
+
+def has_ts_stitch_flagged() -> bool:
+    ext = _load()
+    return bool(ext) and hasattr(ext, "ts_stitch_flagged")
+
+
+def _as_buf(a):
+    """Zero-copy buffer handoff when the array is already contiguous u8
+    (the hot-loop case); the C side takes any buffer-protocol object."""
+    a = np.asarray(a, np.uint8)
+    return a if a.flags["C_CONTIGUOUS"] else np.ascontiguousarray(a)
+
+
+def ts_stitch_flagged(datafield: np.ndarray, partial: np.ndarray,
+                      synched: bool, syncd_bytes: int, ok_map: np.ndarray,
+                      base_idx: int):
+    """``ts_stitch`` with device-precomputed packet validity
+    (``ops/crc8_dev.packet_validity`` packed map; ``base_idx`` = the
+    datafield's byte offset inside the frame). Only the one cross-frame
+    packet per call computes a CRC on the host. Returns read-only views
+    over the C-allocated buffers (callers only read/concatenate)."""
+    ext = _load()
+    ts, new_partial, n_err = ext.ts_stitch_flagged(
+        _as_buf(datafield), _as_buf(partial), bool(synched),
+        int(syncd_bytes), _as_buf(ok_map), int(base_idx),
+    )
+    return (
+        np.frombuffer(ts, np.uint8),
+        np.frombuffer(new_partial, np.uint8),
+        int(n_err),
+    )

@@ -185,12 +185,15 @@ def _coarse_foffset_np(r):
     return float(np.clip(np.sum(diff * w) / (2 * np.pi), -0.5, 0.5))
 
 
-def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
-    """Refined linear SNR from decoded bits (reference
+def _snr_refine_frames(xfec, hard_bits, constellation, rate, n_mod):
+    """Per-frame refined linear SNR from decoded bits (reference
     ``xfecframe_demapper_cb_impl.cc:188-318``): re-map the decoded
     codeword to reference constellation points and measure the error
-    against the saved XFECFRAME symbols. xfec: (B, rows, 2), hard_bits:
-    (B, n_ldpc) with the first rows*n_mod bits forming the codeword."""
+    against the saved XFECFRAME symbols. xfec: (B, R, 2) with R <= rows
+    (a symbol PREFIX of the frame is enough for the estimate — the VCM
+    stream path pools quantized symbol snapshots, see rx/vcm_stream.py),
+    hard_bits: (B, n_ldpc) with the first rows*n_mod bits forming the
+    codeword. Returns (B,) linear SNRs."""
     from ..spec.constellations import constellation_points
     from ..spec.interleaver import column_order
 
@@ -209,6 +212,7 @@ def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
     idx = jnp.zeros((B, rows), jnp.int32)
     for b in range(n_mod):
         idx = (idx << 1) | sym_bits[..., b]
+    idx = idx[:, : xfec.shape[1]]
     pts = jnp.asarray(cplx.from_np(constellation_points(constellation, rate)))
     # one-hot matmul instead of pts[idx]: the (B*rows)-element gather from
     # the tiny constellation table serializes on TPU (profiled at ~5 ms/
@@ -218,11 +222,17 @@ def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
     # ~2^-9); the contraction is tiny, so the pin costs nothing.
     oh = (idx[..., None] == jnp.arange(pts.shape[0])).astype(jnp.float32)
     ref = jnp.einsum("brp,pc->brc", oh, pts,
-                     precision=jax.lax.Precision.HIGHEST)      # (B, rows, 2)
+                     precision=jax.lax.Precision.HIGHEST)      # (B, R, 2)
     sp = jnp.sum(jnp.sum(ref * ref, axis=-1), axis=-1)
     np_ = jnp.sum(jnp.sum((xfec - ref) ** 2, axis=-1), axis=-1)
-    snr = sp / jnp.maximum(np_, 1e-12)
-    return jnp.mean(snr)
+    return sp / jnp.maximum(np_, 1e-12)
+
+
+def _snr_refine(xfec, hard_bits, constellation, rate, n_mod):
+    """Batch-mean refined SNR (see ``_snr_refine_frames``)."""
+    return jnp.mean(
+        _snr_refine_frames(xfec, hard_bits, constellation, rate, n_mod)
+    )
 
 
 class Receiver:

@@ -735,7 +735,7 @@ class StreamEngine:
 
     def __init__(self, cfg: RxConfig, n_channels: int = 1,
                  frames_per_step: int = 2, mesh: Mesh = None):
-        from ..spec.bb_frame import BBFrameParser
+        from ..spec.bb_frame import BatchTSStitcher
         from ..spec.scramblers import bb_derandomizer_bytes
         from .receiver import RxStats
 
@@ -747,9 +747,10 @@ class StreamEngine:
         self.stats = RxStats()
         self.frame_len = self.sr.frame_len
         self._scr = bb_derandomizer_bytes(cfg.fec.kbch // 8)
-        self.bb_parsers = [BBFrameParser(cfg.fec.kbch)
-                           for _ in range(n_channels)]
-        self.bb_parser = self.bb_parsers[0]      # get_stats() compatibility
+        # whole-step native stitch (one C call per step; per-channel
+        # reassembly state lives in flat arrays inside the stitcher)
+        self._stitcher = BatchTSStitcher(n_channels)
+        self.bb_parser = self._stitcher          # get_stats() compatibility
         self._buf = np.empty((n_channels, 0), np.complex64)
         self._primed = False
         self._was_locked = np.zeros((n_channels,), bool)
@@ -802,23 +803,14 @@ class StreamEngine:
         s.ldpc_frames += C * F
         s.ldpc_total_iters += int(stats["ldpc_iters"]) * C * F
 
-    def _stitch(self, kb_np, ok_np=None, hdr_np=None):
-        """BBFRAME bytes (C, F, kbch/8) -> per-channel TS byte arrays.
-        With the device-computed validity maps, the per-packet CRC work is
-        already done (VERDICT r3 item 6)."""
-        out = []
-        for c in range(self.n_channels):
-            parts = [
-                self.bb_parsers[c].push(
-                    kb_np[c, f] ^ self._scr,
-                    pkt_ok=None if ok_np is None else ok_np[c, f],
-                    hdr_ok=None if hdr_np is None else bool(hdr_np[c, f]),
-                )
-                for f in range(self.sr.F)
-            ]
-            out.append(np.concatenate(parts) if parts
-                       else np.empty(0, np.uint8))
-        return out
+    def _stitch(self, kb_np, ok_np, hdr_np):
+        """BBFRAME bytes (C, F, kbch/8) -> per-channel TS byte arrays:
+        ONE vectorized descramble XOR + ONE native whole-step stitch call
+        (the device already did the per-packet CRC work — VERDICT r3 item
+        6; the per-frame Python push glue was the remaining host cost)."""
+        return self._stitcher.push_step(
+            kb_np ^ self._scr[None, None], ok_np, hdr_np
+        )
 
     def _reader_loop(self):
         while True:

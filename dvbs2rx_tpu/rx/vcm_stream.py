@@ -36,11 +36,22 @@ padding + masks"):
   the host engine reorders per channel (different-PLS frames drain from
   different queues at different times) and stitches TS bytes.
 
+- **Post-decoder SNR refinement**: alongside each LLR column the queue
+  pools an int8-quantized snapshot of the frame's first ``R_SUB`` data
+  symbols; when a batch drains, the decoded bits re-map to constellation
+  points against the snapshots (reference
+  ``xfecframe_demapper_cb_impl.cc:188-318``, the LLR-PDU feedback) and
+  the per-(channel, PLS) refined N0 carried in state scales the NEXT
+  frames' LLRs — the reference's 8-frame symbol pool + async PDU loop
+  collapsed into queue + carry. Only BCH-clean lanes update the estimate
+  (a failed decode would poison the scale). The snapshot is a prefix
+  (<=4096 symbols, estimator std ~2%) quantized at 1/32 (~-41 dB noise
+  floor), both negligible at DVB-S2 operating SNRs.
+
 Scope: one frame-size class per engine (normal XOR short — mixed-size VCM
-streams fall back to the host ``ACMReceiver``), closed-loop rotator, no
-post-decoder SNR refinement yet (data-aided N0; the host ACM path has the
-refined estimator). Dummy frames are walked and counted at line rate;
-out-of-filter frames are rejected and counted (``plsync_cc_impl.cc:904-916``).
+streams fall back to the host ``ACMReceiver``), closed-loop rotator.
+Dummy frames are walked and counted at line rate; out-of-filter frames
+are rejected and counted (``plsync_cc_impl.cc:904-916``).
 """
 
 import time
@@ -182,6 +193,13 @@ class VCMStreamReceiver:
         self.bb_scramble = [
             bb_derandomizer_bytes(f.kbch // 8) for f in self._fecs
         ]
+        # post-decoder SNR refinement: pooled symbol-snapshot prefix length
+        # (uniform across the PLS set so the queue is one array) and the
+        # int8 quantization scale (see module docstring)
+        self.R_SUB = min(
+            4096, min(self.n_ldpc // i.n_mod for i in infos)
+        )
+        self.XF_SCALE = 32.0
 
         # The step is TWO jitted programs: A = front end + chain walk +
         # demap + control (everything but FEC), B = queue append + pooled
@@ -191,15 +209,15 @@ class VCMStreamReceiver:
         # dispatch per step, which pipelines away in the sustained loop.
         step_a, step_b = self._build_step()
         self._step_a = jax.jit(step_a, donate_argnums=0)
-        self._step_b = jax.jit(step_b, donate_argnums=(0, 1, 2))
+        self._step_b = jax.jit(step_b, donate_argnums=(0, 1, 2, 3))
         self._flush_fns = None
         self._reacquire = None
 
     def step(self, state, iq):
         """One VCM stream step: (state, iq (C, n_in, 2)) ->
         (state', outputs, stats)."""
-        state, llr8, meta, sels, stats = self._step_a(state, iq)
-        state, outputs, stats_b = self._step_b(state, llr8, meta, sels)
+        state, llr8, xf8, meta, sels, stats = self._step_a(state, iq)
+        state, outputs, stats_b = self._step_b(state, llr8, xf8, meta, sels)
         return state, outputs, {**stats, **stats_b}
 
     # ---------------- state ----------------
@@ -235,6 +253,9 @@ class VCMStreamReceiver:
             "qllr": np.zeros((S, self.n_ldpc, self.CAP), np.int8),
             "qmeta": np.zeros((S, self.CAP, 2), np.int32),
             "qfill": np.zeros((S,), np.int32),
+            # symbol snapshots pooled with the LLRs + the refined N0 carry
+            "qxf": np.zeros((S, self.R_SUB * 2, self.CAP), np.int8),
+            "n0_refined": np.zeros((C, S), np.float32),
         }
 
     # ---------------- step pieces ----------------
@@ -426,7 +447,7 @@ class VCMStreamReceiver:
                 pil_ph if info.has_pilots else None
             )
 
-        def correct_demap(own_hdr, payload, next_phase, corrected):
+        def correct_demap(own_hdr, payload, next_phase, corrected, n0_ov):
             hdr_phase, pay, fine, pil_ph = lane(own_hdr, payload, next_phase)
             fine_ff = jnp.where(corrected, fine, 0.0)
             if info.has_pilots:
@@ -443,20 +464,41 @@ class VCMStreamReceiver:
             else:
                 snr = estimate_snr_generic(xfec, const, rate)
             n0 = 1.0 / jnp.maximum(snr, 1e-9)
-            llr = demap(xfec[None], n0[None], const, rate,
+            # refined post-decoder N0 (per channel+PLS carry) once the
+            # first decoded batch of this PLS came back; data-aided before
+            n0_use = jnp.where(n0_ov > 0, n0_ov, n0)
+            llr = demap(xfec[None], n0_use[None], const, rate,
                         quantize=False)[0]
-            return {"llrs": llr, "fine": fine, "n0": n0}
+            xfq = jnp.clip(
+                jnp.round(xfec[: self.R_SUB] * self.XF_SCALE), -127, 127
+            ).astype(jnp.int8).reshape(self.R_SUB * 2)
+            return {"llrs": llr, "fine": fine, "n0": n0_use, "xfq": xfq}
 
         return correct_demap, fec
 
     def _fec_branch(self, si: int):
-        """Lane-major FEC for expected PLS ``si`` (B_fec lanes)."""
+        """Lane-major FEC for expected PLS ``si`` (B_fec lanes). Also
+        returns the per-lane refined SNR from the decoded bits against the
+        pooled symbol snapshots ``xfT`` ((R_SUB*2, B) int8; pass zeros to
+        skip — lanes with BCH failures report snr 0 and are ignored by the
+        carry update in ``step_b``)."""
+        from .receiver import _snr_refine_frames
+
         fec = self._fecs[si]
+        info = self._infos[si]
+        const, rate = _MODCODS[info.modcod]
         ldpc, bch = self._ldpc[si], self._bch[si]
 
-        def run(llrsT):
+        def run(llrsT, xfT):
             hard_t, _lt, iters, ok = ldpc.decode_lane_major(llrsT)
             corrected_t, n_corr = bch.decode_lane_major(hard_t[: fec.nbch])
+            xf = (
+                xfT.astype(jnp.float32) / self.XF_SCALE
+            ).reshape(self.R_SUB, 2, -1).transpose(2, 0, 1)  # (B, R_SUB, 2)
+            snr = _snr_refine_frames(
+                xf, hard_t.transpose(1, 0), const, rate, info.n_mod
+            )
+            snr = jnp.where(n_corr >= 0, snr, 0.0)
             kbits_t = corrected_t[: fec.kbch].astype(jnp.int32)
             B = kbits_t.shape[1]
             weights = (1 << jnp.arange(7, -1, -1, dtype=jnp.int32))
@@ -466,7 +508,8 @@ class VCMStreamReceiver:
             pad = self.kb_max - fec.kbch // 8
             if pad:
                 kbytes = jnp.pad(kbytes, ((0, 0), (0, pad)))
-            return kbytes, n_corr.astype(jnp.int32), iters.astype(jnp.int32)
+            return (kbytes, n_corr.astype(jnp.int32),
+                    iters.astype(jnp.int32), snr)
 
         return run
 
@@ -548,18 +591,21 @@ class VCMStreamReceiver:
             llr = jnp.zeros((self.n_ldpc, B), jnp.float32)
             fine = jnp.zeros((B,), jnp.float32)
             n0 = jnp.zeros((B,), jnp.float32)
+            xf8 = jnp.zeros((self.R_SUB * 2, B), jnp.int8)
             sel_s = []
             for si in range(S):
                 fn, _ = lanes[si]
+                n0_ov = jnp.repeat(state["n0_refined"][:, si], FP)
                 out = jax.vmap(
-                    fn, in_axes=(0, 0, 0, 0),
-                    out_axes={"llrs": -1, "fine": 0, "n0": 0},
-                )(hdr_l, pay_l, nxtph_l, corrected_l)
+                    fn, in_axes=(0, 0, 0, 0, 0),
+                    out_axes={"llrs": -1, "fine": 0, "n0": 0, "xfq": -1},
+                )(hdr_l, pay_l, nxtph_l, corrected_l, n0_ov)
                 sel = valid_l & (pls_l == int(pls_arr[si]))
                 sel_s.append(sel)
                 llr = jnp.where(sel[None, :], out["llrs"], llr)
                 fine = jnp.where(sel, out["fine"], fine)
                 n0 = jnp.where(sel, out["n0"], n0)
+                xf8 = jnp.where(sel[None, :], out["xfq"], xf8)
             llr8 = quantize_llrs(llr)                    # (N, B) int8
 
             meta = jnp.stack(
@@ -704,14 +750,15 @@ class VCMStreamReceiver:
                 "overflow": overflow,
                 "underflow": underflow,
             }
-            return new_state, llr8, meta, sels, stats
+            return new_state, llr8, xf8, meta, sels, stats
 
-        def step_b(state, llr8, meta, sels):
+        def step_b(state, llr8, xf8, meta, sels):
             """Queue append + pooled per-PLS FEC drains (the half that
-            embeds the Pallas LDPC kernels)."""
-            qllr, qmeta, qfill = (
-                state["qllr"], state["qmeta"], state["qfill"]
+            embeds the Pallas LDPC kernels) + refined-N0 carry update."""
+            qllr, qmeta, qxf, qfill = (
+                state["qllr"], state["qmeta"], state["qxf"], state["qfill"]
             )
+            n0_ref = state["n0_refined"]
             out_kb, out_meta, out_ncorr, out_fired = [], [], [], []
             ldpc_iters = jnp.int32(0)
             for si in range(S):
@@ -728,6 +775,10 @@ class VCMStreamReceiver:
                     llr8.astype(jnp.float32), perm,
                     precision=jax.lax.Precision.HIGHEST,
                 ).astype(jnp.int8)                       # (N, B)
+                compx = jnp.matmul(
+                    xf8.astype(jnp.float32), perm,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int8)                       # (R_SUB*2, B)
                 compm = jnp.matmul(
                     perm.T, meta.astype(jnp.float32),
                     precision=jax.lax.Precision.HIGHEST,
@@ -735,18 +786,41 @@ class VCMStreamReceiver:
                 q = jax.lax.dynamic_update_slice(
                     qllr[si], comp, (0, qfill[si])
                 )
+                qx = jax.lax.dynamic_update_slice(
+                    qxf[si], compx, (0, qfill[si])
+                )
                 qm = jax.lax.dynamic_update_slice(
                     qmeta[si], compm, (qfill[si], 0)
                 )
                 fill = qfill[si] + n_s
 
-                def decode(q, qm, fill, _si=si):
-                    kb, nc, iters = fec_branches[_si](
-                        q[:, : self.B_fec]
+                def decode(q, qm, qx, n0col, fill, _si=si):
+                    kb, nc, iters, snr = fec_branches[_si](
+                        q[:, : self.B_fec], qx[:, : self.B_fec]
+                    )
+                    # per-channel mean over this batch's BCH-clean lanes
+                    # -> refined N0 carry (reference LLR-PDU feedback)
+                    chan = qm[: self.B_fec, 0]
+                    good = (snr > 0)[:, None]
+                    ohc = (
+                        (chan[:, None] == jnp.arange(C)[None, :]) & good
+                    ).astype(jnp.float32)                # (B_fec, C)
+                    cnt = jnp.sum(ohc, axis=0)
+                    mean = (
+                        jnp.sum(ohc * snr[:, None], axis=0)
+                        / jnp.maximum(cnt, 1.0)
+                    )
+                    n0col = jnp.where(
+                        cnt > 0, 1.0 / jnp.maximum(mean, 1e-9), n0col
                     )
                     q2 = jnp.concatenate(
                         [q[:, self.B_fec:],
                          jnp.zeros((self.n_ldpc, self.B_fec), jnp.int8)],
+                        axis=1,
+                    )
+                    qx2 = jnp.concatenate(
+                        [qx[:, self.B_fec:],
+                         jnp.zeros((self.R_SUB * 2, self.B_fec), jnp.int8)],
                         axis=1,
                     )
                     qm2 = jnp.concatenate(
@@ -754,46 +828,52 @@ class VCMStreamReceiver:
                          jnp.zeros((self.B_fec, 2), jnp.int32)],
                         axis=0,
                     )
-                    return (kb, qm[: self.B_fec], nc, iters, q2, qm2,
-                            fill - self.B_fec)
+                    return (kb, qm[: self.B_fec], nc, iters, q2, qm2, qx2,
+                            n0col, fill - self.B_fec)
 
-                def skip(q, qm, fill):
+                def skip(q, qm, qx, n0col, fill):
                     return (
                         jnp.zeros((self.B_fec, self.kb_max), jnp.uint8),
                         jnp.zeros((self.B_fec, 2), jnp.int32),
                         jnp.zeros((self.B_fec,), jnp.int32),
-                        jnp.int32(0), q, qm, fill,
+                        jnp.int32(0), q, qm, qx, n0col, fill,
                     )
 
                 def drain_body(carry, _):
-                    q, qm, fill = carry
+                    q, qm, qx, n0col, fill = carry
                     fire = fill >= self.B_fec
-                    kb, md, nc, iters, q, qm, fill = jax.lax.cond(
-                        fire, decode, skip, q, qm, fill
+                    kb, md, nc, iters, q, qm, qx, n0col, fill = jax.lax.cond(
+                        fire, decode, skip, q, qm, qx, n0col, fill
                     )
-                    return (q, qm, fill), (kb, md, nc, fire, iters)
+                    return (q, qm, qx, n0col, fill), (kb, md, nc, fire,
+                                                      iters)
 
-                (q, qm, fill), (kb_d, meta_d, nc_d, fired_d, it_d) = \
-                    jax.lax.scan(
-                        drain_body, (q, qm, fill), None, length=self.DRAIN
+                (q, qm, qx, n0col, fill), \
+                    (kb_d, meta_d, nc_d, fired_d, it_d) = jax.lax.scan(
+                        drain_body, (q, qm, qx, n0_ref[:, si], fill),
+                        None, length=self.DRAIN,
                     )
                 ldpc_iters = jnp.maximum(ldpc_iters, jnp.max(it_d))
                 qllr = qllr.at[si].set(q)
                 qmeta = qmeta.at[si].set(qm)
+                qxf = qxf.at[si].set(qx)
                 qfill = qfill.at[si].set(fill)
+                n0_ref = n0_ref.at[:, si].set(n0col)
                 out_kb.append(kb_d)
                 out_meta.append(meta_d)
                 out_ncorr.append(nc_d)
                 out_fired.append(fired_d)
 
-            new_state = dict(state, qllr=qllr, qmeta=qmeta, qfill=qfill)
+            new_state = dict(state, qllr=qllr, qmeta=qmeta, qxf=qxf,
+                             qfill=qfill, n0_refined=n0_ref)
             outputs = {
                 "kb": jnp.stack(out_kb),         # (S, DRAIN, B_fec, kb_max)
                 "meta": jnp.stack(out_meta),     # (S, DRAIN, B_fec, 2)
                 "n_corr": jnp.stack(out_ncorr),  # (S, DRAIN, B_fec)
                 "fired": jnp.stack(out_fired),   # (S, DRAIN)
             }
-            stats_b = {"qfill": qfill, "ldpc_iters": ldpc_iters}
+            stats_b = {"qfill": qfill, "ldpc_iters": ldpc_iters,
+                       "n0_refined": n0_ref}
             return new_state, outputs, stats_b
 
         return step_a, step_b
@@ -809,7 +889,10 @@ class VCMStreamReceiver:
                 branch = self._fec_branch(si)
 
                 def fl(q, qm, fill, _b=branch):
-                    kb, nc, _it = _b(q[:, : self.B_fec])
+                    kb, nc, _it, _snr = _b(
+                        q[:, : self.B_fec],
+                        jnp.zeros((self.R_SUB * 2, self.B_fec), jnp.int8),
+                    )
                     return kb, qm[: self.B_fec], nc
 
                 fns.append(jax.jit(fl))
@@ -840,6 +923,7 @@ class VCMStreamReceiver:
             state,
             qllr=jnp.zeros_like(state["qllr"]),
             qmeta=jnp.zeros_like(state["qmeta"]),
+            qxf=jnp.zeros_like(state["qxf"]),
             qfill=jnp.zeros_like(state["qfill"]),
         )
         return state, outs
@@ -1011,6 +1095,10 @@ class VCMStreamReceiver:
                                   state["coarse_acc_sof"]),
                 coarse_frames=mk(zc, state["coarse_frames"]),
                 unlock_cnt=mk(zc, state["unlock_cnt"]),
+                # refined N0 is stale after re-acquisition: back to
+                # data-aided until the next decoded batch
+                n0_refined=mk(jnp.zeros_like(state["n0_refined"]),
+                              state["n0_refined"]),
             )
             return new_state, ok
 
@@ -1062,9 +1150,38 @@ class VCMStreamEngine:
         self._nblk = int(np.ceil(self.sr._n_fe / self.sr.n_in)) + 1
         self.need = np.zeros((C,), bool)
         self.reacquired = 0
+        # per-PLS monitoring (ACMReceiver.get_stats parity)
+        self._per_pls = [
+            {"fec_frames": 0, "fec_errors": 0} for _ in range(self.sr.S)
+        ]
+        self._n0_ref = np.zeros((C, self.sr.S), np.float32)
 
     def get_stats(self, sym_rate: float = None) -> dict:
-        return self._get_stats_impl(self, sym_rate)
+        """Reference-shaped stats plus coherent per-PLS sections (the
+        ACMReceiver.get_stats contract): refined SNR, frame and error
+        counters per expected PLS."""
+        base = self._get_stats_impl(self, sym_rate)
+        per_plsync, per_fec = {}, {}
+        for si, pls in enumerate(self.sr.pls_set):
+            st = self._per_pls[si]
+            if st["fec_frames"] == 0:
+                continue
+            info = self.sr._infos[si]
+            const, rate = _MODCODS[info.modcod]
+            name = f"{const.lower()}{rate}"
+            n0 = float(self._n0_ref[0, si])
+            per_plsync[pls] = {"modcod": name, "frames": st["fec_frames"]}
+            per_fec[pls] = {
+                "modcod": name,
+                "frames": st["fec_frames"],
+                "errors": st["fec_errors"],
+                "snr": (
+                    float(10 * np.log10(1.0 / n0)) if n0 > 0 else None
+                ),
+            }
+        base["plsync"]["per_pls"] = per_plsync
+        base["fec"]["per_pls"] = per_fec
+        return base
 
     # ---- output handling ----
 
@@ -1087,6 +1204,8 @@ class VCMStreamEngine:
         s.bch_frames += n
         s.bch_frame_errors += int(np.sum(ncorr < 0))
         s.bch_corrections += int(np.sum(np.maximum(ncorr, 0)))
+        self._per_pls[si]["fec_frames"] += n
+        self._per_pls[si]["fec_errors"] += int(np.sum(ncorr < 0))
         nbytes = self.sr._fecs[si].kbch // 8
         scr = self.sr.bb_scramble[si]
         for i in range(n):
@@ -1143,6 +1262,7 @@ class VCMStreamEngine:
         if n0 > 0:
             s.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
         s.ldpc_total_iters += int(stats["ldpc_iters"])
+        self._n0_ref = np.asarray(stats["n0_refined"])
 
     # ---- the host loop ----
 

@@ -68,18 +68,21 @@ class BBFrameParser:
         hdr = frame[:BB_HEADER_LENGTH_BYTES]
         if not skip_crc and not crc8_check(hdr):
             return None
+        # python ints once (numpy uint8 scalar arithmetic is ~10x slower
+        # per op; this parse runs per frame in the streaming hot loop)
+        b = hdr.tobytes()
         h = BBHeader(
-            ts_gs=(hdr[0] >> 6) & 0x3,
-            sis_mis=(hdr[0] >> 5) & 0x1,
-            ccm_acm=(hdr[0] >> 4) & 0x1,
-            issyi=(hdr[0] >> 3) & 0x1,
-            npd=(hdr[0] >> 2) & 0x1,
-            ro=hdr[0] & 0x3,
-            isi=int(hdr[1]) if (hdr[0] >> 5) & 0x1 == 0 else 0,
-            upl=(int(hdr[2]) << 8) | int(hdr[3]),
-            dfl=(int(hdr[4]) << 8) | int(hdr[5]),
-            sync=int(hdr[6]),
-            syncd=(int(hdr[7]) << 8) | int(hdr[8]),
+            ts_gs=(b[0] >> 6) & 0x3,
+            sis_mis=(b[0] >> 5) & 0x1,
+            ccm_acm=(b[0] >> 4) & 0x1,
+            issyi=(b[0] >> 3) & 0x1,
+            npd=(b[0] >> 2) & 0x1,
+            ro=b[0] & 0x3,
+            isi=b[1] if (b[0] >> 5) & 0x1 == 0 else 0,
+            upl=(b[2] << 8) | b[3],
+            dfl=(b[4] << 8) | b[5],
+            sync=b[6],
+            syncd=(b[7] << 8) | b[8],
         )
         if h.dfl > max_dfl or h.dfl % 8 != 0:
             return None
@@ -189,6 +192,23 @@ class BBFrameParser:
         ):
             self.synched = False
             self.stats.bbframe_gap_cnt += 1
+
+        # native fast path: flag-lookup stitch entirely in C (only the one
+        # cross-frame packet per call computes a CRC); bit-identical to the
+        # flag-less native ts_stitch
+        from ..io import native as _native
+
+        if _native.has_ts_stitch_flagged():
+            ts, new_partial, n_err = _native.ts_stitch_flagged(
+                df, self.partial, self.synched, h.syncd // 8, pkt_ok,
+                df_start,
+            )
+            self.synched = True
+            self.partial = new_partial
+            self.stats.error_cnt += n_err
+            self.stats.packet_cnt += ts.size // TS_PACKET_LENGTH
+            return ts
+
         if not self.synched:
             pos = h.syncd // 8 + 1
             self.synched = True
@@ -236,4 +256,90 @@ class BBFrameParser:
             self.partial = df[pos:].copy()
         return (
             np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
+        )
+
+
+class BatchTSStitcher:
+    """Whole-step TS stitching: C channels x F frames in ONE native call.
+
+    The per-frame ``BBFrameParser.push`` API costs ~10 us of Python glue
+    per frame (header parse, buffer conversions, wrapper frames) — at 64
+    channels that glue, not the CRC math, dominates the host stitch. This
+    class keeps the per-channel reassembly state (partial carry, sync
+    flag, counters) in flat numpy arrays mutated in place by
+    ``native.ts_stitch_flagged_batch`` so one step's whole (C, F) frame
+    block stitches in a single call (the reference's equivalent loop is
+    C++ inside one block too, ``lib/bbdeheader_bb_impl.cc:144-261``).
+    Bit-identical to per-frame flagged pushes; falls back to them when the
+    native entry point is unavailable.
+
+    ``push_step(frames, ok_maps, hdr_ok)``: frames (C, F, nb) DESCRAMBLED
+    bytes, ok_maps (C, F, ok_nb) packed per-position validity
+    (``ops/crc8_dev.packet_validity``), hdr_ok (C, F) bool. Returns a list
+    of C per-channel TS byte arrays.
+    """
+
+    def __init__(self, n_channels: int):
+        from ..io import native as _native
+
+        C = n_channels
+        self.C = C
+        ext = _native._load()
+        self._ext = ext if (ext and hasattr(ext, "ts_stitch_flagged_batch")) \
+            else None
+        self.partial = np.zeros((C, TS_PACKET_LENGTH), np.uint8)
+        self.plen = np.zeros((C,), np.int32)
+        self.synched = np.zeros((C,), np.uint8)
+        # [packets, errors, gaps, drops, bbframes] per channel
+        self.counters = np.zeros((C, 5), np.int64)
+        self._parsers = (
+            None if self._ext else [BBFrameParser() for _ in range(C)]
+        )
+
+    def push_step(self, frames: np.ndarray, ok_maps: np.ndarray,
+                  hdr_ok: np.ndarray):
+        C = self.C
+        frames = np.ascontiguousarray(frames, np.uint8)
+        _, F, nb = frames.shape
+        if self._ext is not None:
+            ok_maps = np.ascontiguousarray(ok_maps, np.uint8)
+            hdr = np.ascontiguousarray(hdr_ok).astype(np.uint8)
+            ts_all, sizes = self._ext.ts_stitch_flagged_batch(
+                frames, C, F, nb, ok_maps, ok_maps.shape[-1], hdr,
+                BB_HEADER_LENGTH_BYTES, self.partial, self.plen,
+                self.synched, self.counters,
+            )
+            flat = np.frombuffer(ts_all, np.uint8)
+            sz = np.frombuffer(sizes, np.int64)
+            off = np.concatenate([[0], np.cumsum(sz)])
+            return [flat[off[c]: off[c + 1]] for c in range(C)]
+        # fallback: per-frame parsers, counters mirrored for stats parity
+        out = []
+        for c in range(C):
+            p = self._parsers[c]
+            parts = [
+                p.push(frames[c, f], pkt_ok=ok_maps[c, f],
+                       hdr_ok=bool(hdr_ok[c, f]))
+                for f in range(F)
+            ]
+            st = p.stats
+            self.counters[c] = (st.packet_cnt, st.error_cnt,
+                                st.bbframe_gap_cnt, st.bbframe_drop_cnt,
+                                st.bbframe_cnt)
+            out.append(
+                np.concatenate(parts) if parts else np.empty(0, np.uint8)
+            )
+        return out
+
+    @property
+    def stats(self) -> BBFrameStats:
+        """Aggregated counters in the ``BBFrameParser.stats`` shape (the
+        ``Receiver.get_stats`` contract)."""
+        tot = self.counters.sum(axis=0)
+        return BBFrameStats(
+            bbframe_cnt=int(tot[4]),
+            bbframe_drop_cnt=int(tot[3]),
+            bbframe_gap_cnt=int(tot[2]),
+            packet_cnt=int(tot[0]),
+            error_cnt=int(tot[1]),
         )

@@ -211,6 +211,264 @@ static PyObject* py_ts_stitch(PyObject* self, PyObject* args)
     return Py_BuildValue("NNl", out, new_partial, n_errors);
 }
 
+/* ts_stitch_flagged(datafield, partial, synched, syncd_bytes, ok_map,
+ *                   base_idx):
+ *   Same stitch loop as ts_stitch, but per-packet validity comes from the
+ *   device-precomputed packed CRC map (ops/crc8_dev.packet_validity:
+ *   LSB-first bit per FRAME byte position; bit i == "the 188-byte window
+ *   ending at frame byte i checks out"). base_idx is the datafield's
+ *   offset inside the frame (the BBHEADER length). Only the one
+ *   cross-frame packet per call (whose CRC window spans two frames)
+ *   computes a CRC on the host. Bit-identical to ts_stitch.
+ */
+static PyObject* py_ts_stitch_flagged(PyObject* self, PyObject* args)
+{
+    Py_buffer df, partial, okmap;
+    int synched, syncd_bytes;
+    Py_ssize_t base_idx;
+    if (!PyArg_ParseTuple(args, "y*y*piy*n", &df, &partial, &synched,
+                          &syncd_bytes, &okmap, &base_idx)) {
+        return NULL;
+    }
+
+    const uint8_t* d = (const uint8_t*)df.buf;
+    const uint8_t* okm = (const uint8_t*)okmap.buf;
+    Py_ssize_t ok_bits = okmap.len * 8;
+    Py_ssize_t dlen = df.len;
+    Py_ssize_t pos = 0;
+    Py_ssize_t part_len = partial.len;
+    uint8_t pkt[188];
+
+    if (!synched) {
+        pos = syncd_bytes + 1;
+        part_len = 0;
+        if (pos > dlen)
+            pos = dlen;
+    }
+
+    Py_ssize_t max_pkts = (dlen - pos + part_len) / 188 + 1;
+    PyObject* out = PyBytes_FromStringAndSize(NULL, max_pkts * 188);
+    if (!out) {
+        PyBuffer_Release(&df);
+        PyBuffer_Release(&partial);
+        PyBuffer_Release(&okmap);
+        return NULL;
+    }
+    uint8_t* o = (uint8_t*)PyBytes_AS_STRING(out);
+    Py_ssize_t produced = 0;
+    long n_errors = 0;
+
+    while (dlen - pos + part_len >= 188) {
+        int ok;
+        if (part_len > 0) {
+            Py_ssize_t need = 188 - part_len;
+            memcpy(pkt, partial.buf, part_len);
+            memcpy(pkt + part_len, d + pos, need);
+            pos += need;
+            part_len = 0;
+            ok = crc8_of(pkt, 188) == 0;
+            o[produced] = 0x47;
+            memcpy(o + produced + 1, pkt, 187);
+        } else {
+            Py_ssize_t idx = base_idx + pos + 187;
+            ok = (idx < ok_bits) ? ((okm[idx >> 3] >> (idx & 7)) & 1) : 0;
+            o[produced] = 0x47;
+            memcpy(o + produced + 1, d + pos, 187);
+            pos += 188;
+        }
+        if (!ok) {
+            o[produced + 1] |= 0x80; /* Transport Error Indicator */
+            n_errors++;
+        }
+        produced += 188;
+    }
+
+    Py_ssize_t rem = dlen - pos;
+    PyObject* new_partial;
+    if (part_len > 0) {
+        new_partial = PyBytes_FromStringAndSize(NULL, part_len + rem);
+        if (new_partial) {
+            memcpy(PyBytes_AS_STRING(new_partial), partial.buf, part_len);
+            memcpy(PyBytes_AS_STRING(new_partial) + part_len, d + pos, rem);
+        }
+    } else {
+        new_partial = PyBytes_FromStringAndSize((const char*)(d + pos), rem);
+    }
+    PyBuffer_Release(&df);
+    PyBuffer_Release(&partial);
+    PyBuffer_Release(&okmap);
+    if (!new_partial) {
+        Py_DECREF(out);
+        return NULL;
+    }
+    if (_PyBytes_Resize(&out, produced) < 0) {
+        Py_DECREF(new_partial);
+        return NULL;
+    }
+    return Py_BuildValue("NNl", out, new_partial, n_errors);
+}
+
+/* ts_stitch_flagged_batch(frames, C, F, nb, ok_maps, ok_nb, hdr_ok,
+ *                         base_idx, partial, partial_len, synched, stats):
+ *   One call stitches a whole receiver step: C channels x F frames
+ *   (frame-major, channel outer), each frame nb descrambled bytes with a
+ *   device-precomputed packed validity map (ok_nb bytes per frame) and a
+ *   BBHEADER-validity flag. BBHEADER field parsing/validation (DFL/SYNCD/
+ *   UPL), gap detection, SYNCD resync, partial-packet carry, 0x47
+ *   restoration and TEI marking all run here — the per-frame Python
+ *   parser glue was the dominant cost of the per-push API (the reference
+ *   runs this loop in C++ too, lib/bbdeheader_bb_impl.cc:144-261).
+ *
+ *   State arrays are writable buffers mutated in place:
+ *     partial     (C, 188) u8   partial-packet carry bytes
+ *     partial_len (C,)     i32
+ *     synched     (C,)     u8
+ *     stats       (C, 5)   i64  [packets, errors, gaps, drops, bbframes]
+ *   Returns (ts_bytes, sizes): one buffer with each channel's TS bytes
+ *   contiguous in channel order and a (C,) i64 byte-size array.
+ */
+static PyObject* py_ts_stitch_flagged_batch(PyObject* self, PyObject* args)
+{
+    Py_buffer frames, okmaps, hdrok, partial, plen, synched, stats;
+    Py_ssize_t C, F, nb, ok_nb, base_idx;
+    if (!PyArg_ParseTuple(args, "y*nnny*ny*nw*w*w*w*", &frames, &C, &F, &nb,
+                          &okmaps, &ok_nb, &hdrok, &base_idx, &partial,
+                          &plen, &synched, &stats)) {
+        return NULL;
+    }
+    if (frames.len < C * F * nb || okmaps.len < C * F * ok_nb ||
+        hdrok.len < C * F || partial.len < C * 188 ||
+        plen.len < (Py_ssize_t)(C * sizeof(int32_t)) ||
+        synched.len < C ||
+        stats.len < (Py_ssize_t)(C * 5 * sizeof(int64_t))) {
+        PyErr_SetString(PyExc_ValueError, "buffer too small");
+        goto fail;
+    }
+
+    {
+    const uint8_t* frs = (const uint8_t*)frames.buf;
+    const uint8_t* oks = (const uint8_t*)okmaps.buf;
+    const uint8_t* hok = (const uint8_t*)hdrok.buf;
+    uint8_t* part = (uint8_t*)partial.buf;
+    int32_t* pl = (int32_t*)plen.buf;
+    uint8_t* sy = (uint8_t*)synched.buf;
+    int64_t* st = (int64_t*)stats.buf;
+    Py_ssize_t max_dfl = nb * 8 - 80;
+
+    PyObject* out = PyBytes_FromStringAndSize(NULL, C * F * nb + C * 188);
+    PyObject* sizes = PyBytes_FromStringAndSize(NULL, C * sizeof(int64_t));
+    if (!out || !sizes) {
+        Py_XDECREF(out);
+        Py_XDECREF(sizes);
+        goto fail;
+    }
+    uint8_t* o = (uint8_t*)PyBytes_AS_STRING(out);
+    int64_t* sz = (int64_t*)PyBytes_AS_STRING(sizes);
+    Py_ssize_t produced_total = 0;
+    uint8_t pkt[188];
+
+    for (Py_ssize_t c = 0; c < C; c++) {
+        Py_ssize_t produced0 = produced_total;
+        for (Py_ssize_t f = 0; f < F; f++) {
+            Py_ssize_t cf = c * F + f;
+            const uint8_t* fr = frs + cf * nb;
+            st[c * 5 + 4]++; /* bbframe_cnt */
+            if (!hok[cf]) {
+                sy[c] = 0;
+                st[c * 5 + 3]++; /* drop */
+                continue;
+            }
+            long upl = ((long)fr[2] << 8) | fr[3];
+            long dfl = ((long)fr[4] << 8) | fr[5];
+            long syncd = ((long)fr[7] << 8) | fr[8];
+            if (dfl > max_dfl || (dfl & 7) || syncd > dfl || (syncd & 7) ||
+                upl != 188 * 8) {
+                sy[c] = 0;
+                st[c * 5 + 3]++; /* drop */
+                continue;
+            }
+            const uint8_t* d = fr + base_idx;
+            const uint8_t* okm = oks + cf * ok_nb;
+            Py_ssize_t ok_bits = ok_nb * 8;
+            Py_ssize_t dlen = dfl / 8;
+            Py_ssize_t pos = 0;
+            Py_ssize_t part_len = pl[c];
+            if (part_len > 0 && syncd / 8 != 188 - 1 - part_len) {
+                sy[c] = 0;
+                st[c * 5 + 2]++; /* gap */
+            }
+            if (!sy[c]) {
+                pos = syncd / 8 + 1;
+                part_len = 0;
+                if (pos > dlen)
+                    pos = dlen;
+                sy[c] = 1;
+            }
+            while (dlen - pos + part_len >= 188) {
+                int ok;
+                if (part_len > 0) {
+                    Py_ssize_t need = 188 - part_len;
+                    memcpy(pkt, part + c * 188, part_len);
+                    memcpy(pkt + part_len, d + pos, need);
+                    pos += need;
+                    part_len = 0;
+                    ok = crc8_of(pkt, 188) == 0;
+                    o[produced_total] = 0x47;
+                    memcpy(o + produced_total + 1, pkt, 187);
+                } else {
+                    Py_ssize_t idx = base_idx + pos + 187;
+                    ok = (idx < ok_bits)
+                             ? ((okm[idx >> 3] >> (idx & 7)) & 1)
+                             : 0;
+                    o[produced_total] = 0x47;
+                    memcpy(o + produced_total + 1, d + pos, 187);
+                    pos += 188;
+                }
+                if (!ok) {
+                    o[produced_total + 1] |= 0x80; /* TEI */
+                    st[c * 5 + 1]++;               /* error */
+                }
+                st[c * 5 + 0]++; /* packet */
+                produced_total += 188;
+            }
+            Py_ssize_t rem = dlen - pos;
+            if (part_len > 0) {
+                /* datafield exhausted completing the old partial */
+                memcpy(part + c * 188 + part_len, d + pos, rem);
+                pl[c] = (int32_t)(part_len + rem);
+            } else {
+                memcpy(part + c * 188, d + pos, rem);
+                pl[c] = (int32_t)rem;
+            }
+        }
+        sz[c] = produced_total - produced0;
+    }
+
+    PyBuffer_Release(&frames);
+    PyBuffer_Release(&okmaps);
+    PyBuffer_Release(&hdrok);
+    PyBuffer_Release(&partial);
+    PyBuffer_Release(&plen);
+    PyBuffer_Release(&synched);
+    PyBuffer_Release(&stats);
+    if (_PyBytes_Resize(&out, produced_total) < 0) {
+        Py_DECREF(sizes);
+        return NULL;
+    }
+    return Py_BuildValue("NN", out, sizes);
+    }
+
+fail:
+    PyBuffer_Release(&frames);
+    PyBuffer_Release(&okmaps);
+    PyBuffer_Release(&hdrok);
+    PyBuffer_Release(&partial);
+    PyBuffer_Release(&plen);
+    PyBuffer_Release(&synched);
+    PyBuffer_Release(&stats);
+    return NULL;
+}
+
 /* ---------------- module ---------------- */
 
 static PyMethodDef methods[] = {
@@ -224,6 +482,10 @@ static PyMethodDef methods[] = {
       "float32 bytes -> interleaved u8 IQ." },
     { "ts_stitch", py_ts_stitch, METH_VARARGS,
       "Datafield -> TS packets with CRC check, resync and partial carry." },
+    { "ts_stitch_flagged", py_ts_stitch_flagged, METH_VARARGS,
+      "ts_stitch with device-precomputed packet validity (packed map)." },
+    { "ts_stitch_flagged_batch", py_ts_stitch_flagged_batch, METH_VARARGS,
+      "Whole-step C x F flagged stitch with in-place channel state." },
     { NULL, NULL, 0, NULL }
 };
 

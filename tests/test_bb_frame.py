@@ -222,3 +222,56 @@ def test_native_matches_python(monkeypatch):
     assert p_nat.stats.packet_cnt == p_py.stats.packet_cnt
     assert p_nat.stats.bbframe_gap_cnt == p_py.stats.bbframe_gap_cnt
     assert np.array_equal(p_nat.partial, p_py.partial)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_batch_stitcher_matches_per_frame(native, monkeypatch):
+    """BatchTSStitcher (one whole-step native call, in-place channel
+    state) is bit-identical to per-frame flagged pushes — including TEI
+    marking, header-drop + gap resync — and its aggregated stats match.
+    The native=False row exercises the per-frame fallback path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.ops.crc8_dev import packet_validity
+    from dvbs2rx_tpu.spec.bb_frame import BatchTSStitcher
+
+    if native:
+        from dvbs2rx_tpu.io import native as native_mod
+
+        if not native_mod.has_ts_stitch_flagged():
+            pytest.skip("native extension unavailable")
+
+    C, F, STEPS = 3, 2, 4
+    pkts, frames, tx = make_stream(n_pkts=C * 40, seed=7)
+    need = STEPS * C * F
+    frames = np.resize(frames, (need, frames.shape[1]))
+    kb = frames.reshape(STEPS, C, F, -1).copy()
+    kb[1, 0, 0, 300] ^= 0xFF     # payload corruption -> TEI
+    kb[2, 1, 1, 4] ^= 0x08       # DFL corruption -> header drop + gap
+
+    sti = BatchTSStitcher(C)
+    if not native:
+        sti._ext = None
+        sti._parsers = [BBFrameParser() for _ in range(C)]
+    parsers = [BBFrameParser() for _ in range(C)]
+    pv = jax.jit(packet_validity)
+    for s in range(STEPS):
+        ok, hdr = pv(jnp.asarray(kb[s].reshape(C * F, -1)))
+        ok = np.asarray(ok).reshape(C, F, -1)
+        hdr = np.asarray(hdr).reshape(C, F)
+        outs = sti.push_step(kb[s], ok, hdr)
+        for c in range(C):
+            ref = np.concatenate([
+                parsers[c].push(kb[s, c, f], pkt_ok=ok[c, f],
+                                hdr_ok=bool(hdr[c, f]))
+                for f in range(F)
+            ])
+            np.testing.assert_array_equal(outs[c], ref)
+    st = sti.stats
+    for attr in ("packet_cnt", "error_cnt", "bbframe_gap_cnt",
+                 "bbframe_drop_cnt", "bbframe_cnt"):
+        assert getattr(st, attr) == sum(
+            getattr(p.stats, attr) for p in parsers
+        ), attr
+    assert st.error_cnt >= 1 and st.bbframe_drop_cnt >= 1

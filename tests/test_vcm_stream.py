@@ -207,6 +207,28 @@ def test_vcm_stream_vs_host_acm_receiver():
     assert abs(n_s - n_h) <= 12
 
 
+def test_vcm_stream_snr_refinement():
+    """Post-decoder SNR refinement: once decoded batches feed back, the
+    per-(channel, PLS) refined N0 engages (n0_refined > 0) and get_stats
+    reports a per-PLS SNR near the channel's true Es/N0 (the reference's
+    LLR-PDU loop, xfecframe_demapper_cb_impl.cc:188-318)."""
+    esn0_db = 12.0
+    ts_in, iq = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=400,
+                             esn0_db=esn0_db, seed=55)
+    eng = engine((PLS_A, PLS_B))
+    ts_out = eng.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=250)
+    n0_ref = np.asarray(eng._n0_ref)
+    assert (n0_ref > 0).all(), "refined N0 never engaged"
+    stats = eng.get_stats()
+    per_fec = stats["fec"]["per_pls"]
+    assert set(per_fec) == {PLS_A, PLS_B}
+    for pls, sec in per_fec.items():
+        assert sec["frames"] > 10 and sec["errors"] == 0
+        # refined SNR within 1 dB of the channel's true Es/N0
+        assert abs(sec["snr"] - esn0_db) < 1.0, (pls, sec["snr"])
+
+
 def test_vcm_stream_rejects_bad_config():
     with pytest.raises(ValueError):
         VCMStreamReceiver(
