@@ -48,10 +48,10 @@ padding + masks"):
   (<=4096 symbols, estimator std ~2%) quantized at 1/32 (~-41 dB noise
   floor), both negligible at DVB-S2 operating SNRs.
 
-Scope: one frame-size class per engine (normal XOR short — mixed-size VCM
-streams fall back to the host ``ACMReceiver``), closed-loop rotator.
-Dummy frames are walked and counted at line rate; out-of-filter frames
-are rejected and counted (``plsync_cc_impl.cc:904-916``).
+Scope: any expected-PLS set, mixed normal+short frame sizes included
+(queues pad to the largest code); closed-loop rotator. Dummy frames are
+walked and counted at line rate; out-of-filter frames are rejected and
+counted (``plsync_cc_impl.cc:904-916``).
 """
 
 import time
@@ -111,22 +111,23 @@ class VCMStreamReceiver:
         infos = [parse_pls(p) for p in expected]
         if any(i.dummy_frame for i in infos):
             raise ValueError("dummy PLS values need not be listed")
-        if len({i.short_fecframe for i in infos}) != 1:
-            raise ValueError(
-                "one frame-size class per engine (normal XOR short); "
-                "mixed-size VCM streams use the host ACMReceiver"
-            )
         self.cfg = cfg
         self.n_channels = C = n_channels
         self.pls_set = expected
         self.S = S = len(expected)
         self._infos = infos
-        framesize = "short" if infos[0].short_fecframe else "normal"
-        self._fecs = [
-            get_fec_info(framesize, _MODCODS[i.modcod][1]) for i in infos
+        # per-PLS frame-size class: mixed normal+short streams are
+        # supported; queues/LLR buffers pad to the largest code
+        # (short-frame lanes waste 3/4 of their queue rows, bounded by
+        # the PLS set the operator configured)
+        self._framesizes = [
+            "short" if i.short_fecframe else "normal" for i in infos
         ]
-        self.n_ldpc = self._fecs[0].nldpc
-        assert all(f.nldpc == self.n_ldpc for f in self._fecs)
+        self._fecs = [
+            get_fec_info(fs, _MODCODS[i.modcod][1])
+            for fs, i in zip(self._framesizes, infos)
+        ]
+        self.n_ldpc = max(f.nldpc for f in self._fecs)
         self.kb_max = max(f.kbch for f in self._fecs) // 8
 
         # geometry
@@ -187,8 +188,8 @@ class VCMStreamReceiver:
             for f in self._fecs
         ]
         self._bch = [
-            _get_bch_decoder(framesize, f.t, f.nbch, f.kbch)
-            for f in self._fecs
+            _get_bch_decoder(fs, f.t, f.nbch, f.kbch)
+            for fs, f in zip(self._framesizes, self._fecs)
         ]
         self.bb_scramble = [
             bb_derandomizer_bytes(f.kbch // 8) for f in self._fecs
@@ -197,7 +198,8 @@ class VCMStreamReceiver:
         # (uniform across the PLS set so the queue is one array) and the
         # int8 quantization scale (see module docstring)
         self.R_SUB = min(
-            4096, min(self.n_ldpc // i.n_mod for i in infos)
+            4096,
+            min(f.nldpc // i.n_mod for f, i in zip(self._fecs, infos)),
         )
         self.XF_SCALE = 32.0
 
@@ -469,6 +471,9 @@ class VCMStreamReceiver:
             n0_use = jnp.where(n0_ov > 0, n0_ov, n0)
             llr = demap(xfec[None], n0_use[None], const, rate,
                         quantize=False)[0]
+            if fec.nldpc < self.n_ldpc:   # mixed frame-size set: pad to
+                llr = jnp.pad(llr, (0, self.n_ldpc - fec.nldpc))  # queue
+
             xfq = jnp.clip(
                 jnp.round(xfec[: self.R_SUB] * self.XF_SCALE), -127, 127
             ).astype(jnp.int8).reshape(self.R_SUB * 2)
@@ -490,6 +495,9 @@ class VCMStreamReceiver:
         ldpc, bch = self._ldpc[si], self._bch[si]
 
         def run(llrsT, xfT):
+            # queues pad to the largest expected code; this PLS's code
+            # occupies the first nldpc rows
+            llrsT = llrsT[: fec.nldpc]
             hard_t, _lt, iters, ok = ldpc.decode_lane_major(llrsT)
             corrected_t, n_corr = bch.decode_lane_major(hard_t[: fec.nbch])
             xf = (

@@ -229,17 +229,28 @@ def test_vcm_stream_snr_refinement():
         assert abs(sec["snr"] - esn0_db) < 1.0, (pls, sec["snr"])
 
 
+def test_vcm_stream_mixed_frame_sizes():
+    """Normal + short FECFRAMEs interleaved in ONE stream: per-PLS queues
+    pad to the larger code; the chain walk and both FEC branches handle
+    the size mix (the reference decodes whatever PLS arrives,
+    plsync_cc_impl.cc:805-955)."""
+    PLS_N = make_pls(4, False, False)     # qpsk1/2 normal
+    CFGS[PLS_N] = TxConfig(modcod="qpsk1/2", frame_size="normal")
+    ts_in, iq = vcm_waveform((PLS_A, PLS_N), [0, 1], n_pkts=700, seed=91)
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+                   pls_expected=(PLS_A, PLS_N))
+    eng = VCMStreamEngine(cfg, n_channels=1, frames_per_step=2,
+                          fec_lanes=4)
+    ts_out = eng.receive(iq)
+    check_ts_subset(ts_in, ts_out, min_packets=400)
+    assert eng.stats.bch_frame_errors == 0
+    per_fec = eng.get_stats()["fec"]["per_pls"]
+    assert per_fec[PLS_A]["frames"] > 4 and per_fec[PLS_N]["frames"] > 4
+
+
 def test_vcm_stream_rejects_bad_config():
     with pytest.raises(ValueError):
         VCMStreamReceiver(
             RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True),
             n_channels=1,
         )  # no expected PLS set
-    with pytest.raises(ValueError):
-        VCMStreamReceiver(
-            RxConfig(
-                modcod="qpsk1/2", frame_size="short", acm_vcm=True,
-                pls_expected=(PLS_A, make_pls(4, False, False)),
-            ),
-            n_channels=1,
-        )  # mixed frame-size classes
