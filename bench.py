@@ -389,7 +389,7 @@ def measure_vcm(C=64, F=2, W=40, esn0_db=13.0):
     from dvbs2rx_tpu.tx.vcm import VCMTransmitter
 
     pls_a = make_pls(4, False, False)    # qpsk1/2 normal
-    pls_b = make_pls(14, False, False)   # 8psk3/5 normal
+    pls_b = make_pls(12, False, False)   # 8psk3/5 normal (MODCOD 12)
     cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
                    pls_expected=(pls_a, pls_b))
     sr = VCMStreamReceiver(cfg, n_channels=C, frames_per_step=F)

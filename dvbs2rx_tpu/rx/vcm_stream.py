@@ -203,15 +203,15 @@ class VCMStreamReceiver:
         )
         self.XF_SCALE = 32.0
 
-        # The step is TWO jitted programs: A = front end + chain walk +
-        # demap + control (everything but FEC), B = queue append + pooled
-        # FEC drains. One fused program exceeds this environment's
-        # remote-compile upload limit (the B half embeds one compiled
-        # Pallas LDPC kernel per expected PLS); the split costs one extra
-        # dispatch per step, which pipelines away in the sustained loop.
-        step_a, step_b = self._build_step()
+        # The step is 1 + S jitted programs: A = front end + chain walk +
+        # demap + control (everything but FEC), then ONE program per
+        # expected PLS for queue append + pooled FEC drain (each embeds
+        # exactly one compiled Pallas LDPC kernel — see make_step_b).
+        step_a, step_b_fns = self._build_step()
         self._step_a = jax.jit(step_a, donate_argnums=0)
-        self._step_b = jax.jit(step_b, donate_argnums=(0, 1, 2, 3))
+        self._step_b = [
+            jax.jit(f, donate_argnums=0) for f in step_b_fns
+        ]
         self._flush_fns = None
         self._reacquire = None
 
@@ -219,8 +219,17 @@ class VCMStreamReceiver:
         """One VCM stream step: (state, iq (C, n_in, 2)) ->
         (state', outputs, stats)."""
         state, llr8, xf8, meta, sels, stats = self._step_a(state, iq)
-        state, outputs, stats_b = self._step_b(state, llr8, xf8, meta, sels)
-        return state, outputs, {**stats, **stats_b}
+        outputs = {"kb": [], "meta": [], "n_corr": [], "fired": []}
+        iters = []
+        for fn in self._step_b:
+            state, o, stats_b = fn(state, llr8, xf8, meta, sels)
+            for k in outputs:
+                outputs[k].append(o[k])
+            iters.append(stats_b["ldpc_iters"])
+        # per-si device scalars; np.asarray stacks them on first host read
+        stats = {**stats, "ldpc_iters": iters,
+                 "n0_refined": stats_b["n0_refined"]}
+        return state, outputs, stats
 
     # ---------------- state ----------------
 
@@ -760,16 +769,20 @@ class VCMStreamReceiver:
             }
             return new_state, llr8, xf8, meta, sels, stats
 
-        def step_b(state, llr8, xf8, meta, sels):
-            """Queue append + pooled per-PLS FEC drains (the half that
-            embeds the Pallas LDPC kernels) + refined-N0 carry update."""
-            qllr, qmeta, qxf, qfill = (
-                state["qllr"], state["qmeta"], state["qxf"], state["qfill"]
-            )
-            n0_ref = state["n0_refined"]
-            out_kb, out_meta, out_ncorr, out_fired = [], [], [], []
-            ldpc_iters = jnp.int32(0)
-            for si in range(S):
+        def make_step_b(si):
+            """One PLS's queue append + pooled FEC drain + refined-N0
+            update as its OWN jitted program: each embeds exactly one
+            Pallas LDPC kernel, keeping every program under the remote-
+            compile upload limit (one program with all S kernels plus the
+            refinement math exceeds it at 64 channels); the extra
+            dispatches pipeline away in the sustained loop."""
+
+            def step_b_si(state, llr8, xf8, meta, sels):
+                qllr, qmeta, qxf, qfill = (
+                    state["qllr"], state["qmeta"], state["qxf"],
+                    state["qfill"],
+                )
+                n0_ref = state["n0_refined"]
                 sel = sels[si]
                 n_s = jnp.sum(sel.astype(jnp.int32))
                 # stable compaction of selected lanes to the front (exact
@@ -861,30 +874,27 @@ class VCMStreamReceiver:
                         drain_body, (q, qm, qx, n0_ref[:, si], fill),
                         None, length=self.DRAIN,
                     )
-                ldpc_iters = jnp.maximum(ldpc_iters, jnp.max(it_d))
-                qllr = qllr.at[si].set(q)
-                qmeta = qmeta.at[si].set(qm)
-                qxf = qxf.at[si].set(qx)
-                qfill = qfill.at[si].set(fill)
-                n0_ref = n0_ref.at[:, si].set(n0col)
-                out_kb.append(kb_d)
-                out_meta.append(meta_d)
-                out_ncorr.append(nc_d)
-                out_fired.append(fired_d)
+                new_state = dict(
+                    state,
+                    qllr=qllr.at[si].set(q),
+                    qmeta=qmeta.at[si].set(qm),
+                    qxf=qxf.at[si].set(qx),
+                    qfill=qfill.at[si].set(fill),
+                    n0_refined=n0_ref.at[:, si].set(n0col),
+                )
+                outputs = {
+                    "kb": kb_d,          # (DRAIN, B_fec, kb_max)
+                    "meta": meta_d,      # (DRAIN, B_fec, 2)
+                    "n_corr": nc_d,      # (DRAIN, B_fec)
+                    "fired": fired_d,    # (DRAIN,)
+                }
+                stats_b = {"ldpc_iters": jnp.max(it_d),
+                           "n0_refined": new_state["n0_refined"]}
+                return new_state, outputs, stats_b
 
-            new_state = dict(state, qllr=qllr, qmeta=qmeta, qxf=qxf,
-                             qfill=qfill, n0_refined=n0_ref)
-            outputs = {
-                "kb": jnp.stack(out_kb),         # (S, DRAIN, B_fec, kb_max)
-                "meta": jnp.stack(out_meta),     # (S, DRAIN, B_fec, 2)
-                "n_corr": jnp.stack(out_ncorr),  # (S, DRAIN, B_fec)
-                "fired": jnp.stack(out_fired),   # (S, DRAIN)
-            }
-            stats_b = {"qfill": qfill, "ldpc_iters": ldpc_iters,
-                       "n0_refined": n0_ref}
-            return new_state, outputs, stats_b
+            return step_b_si
 
-        return step_a, step_b
+        return step_a, [make_step_b(si) for si in range(S)]
 
     # ---------------- flush ----------------
 
@@ -1269,7 +1279,7 @@ class VCMStreamEngine:
         n0 = float(np.asarray(stats["n0"])[0])
         if n0 > 0:
             s.snr_db = float(10 * np.log10(1.0 / max(n0, 1e-12)))
-        s.ldpc_total_iters += int(stats["ldpc_iters"])
+        s.ldpc_total_iters += int(np.max(np.asarray(stats["ldpc_iters"])))
         self._n0_ref = np.asarray(stats["n0_refined"])
 
     # ---- the host loop ----
