@@ -50,6 +50,12 @@ import os
 import sys
 import time
 
+
+def _fec_jit(*a, **k):
+    from dvbs2rx_tpu.utils.runtime import fec_jit
+
+    return fec_jit(*a, **k)
+
 import numpy as np
 
 K = 33         # chained executions per fused timing dispatch (long chains:
@@ -169,7 +175,7 @@ def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
     ).astype(np.float32)
     src = jax.device_put(jnp.asarray(src_np))          # (T_WRAP, n_in, 2)
 
-    @jax.jit
+    @_fec_jit
     def step_i(state, i):
         blk = jax.lax.dynamic_index_in_dim(
             src, i % T_WRAP, keepdims=False
@@ -277,7 +283,7 @@ def measure_sustained(C=64, F=2, W=40, LAG=4, esn0_db=6.0):
     # otherwise bounds the loop at step_samples / dispatch_latency) ----
     T_SCAN = 8
 
-    @functools.partial(jax.jit, donate_argnums=0)
+    @functools.partial(_fec_jit, donate_argnums=0)
     def scan_steps(state, i0):
         def body(st, i):
             blk = jax.lax.dynamic_index_in_dim(
@@ -540,7 +546,7 @@ def measure_acm(esn0_db=6.0):
     K = 17
 
     def chain(f_one, *args):
-        @jax.jit
+        @_fec_jit
         def many(*a):
             def body(eps, _):
                 out = f_one(a[0] + eps, *a[1:])
@@ -555,7 +561,7 @@ def measure_acm(esn0_db=6.0):
                 return (tot % 2) * 1e-12, None
             eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
             return eps
-        one = jax.jit(lambda *a: f_one(*a))
+        one = _fec_jit(lambda *a: f_one(*a))
         return chain_time_k(one, many, K, *args)
 
     def chain_time_k(f1, fk, k, *args):
@@ -609,7 +615,7 @@ def measure_acm(esn0_db=6.0):
     fec_lane = rx._acm_fec_impl(pls)
 
     def fec_chain(width_llrsT):
-        @jax.jit
+        @_fec_jit
         def many(lt):
             def body(eps, _):
                 kb, n_corr, iters, hard_t = fec_lane(
@@ -618,7 +624,7 @@ def measure_acm(esn0_db=6.0):
                 return (jnp.sum(n_corr) % 2).astype(jnp.int8), None
             eps, _ = jax.lax.scan(body, jnp.int8(0), None, length=K)
             return eps
-        return chain_time_k(jax.jit(fec_lane), many, K, width_llrsT)
+        return chain_time_k(_fec_jit(fec_lane), many, K, width_llrsT)
 
     t_fec = fec_chain(llrsT)
 
@@ -739,7 +745,7 @@ def main():
     def gf_one(h, p, flag):
         return pipe.step(h, p, flag)[0]
 
-    @jax.jit
+    @_fec_jit
     def gf_many(h, p, flag):
         def body(eps, _):
             kb = pipe.step(h + eps, p, flag)[0]
@@ -750,7 +756,7 @@ def main():
         )
         return eps, last
 
-    t_group_fec, t1_gf = chain_time(jax.jit(gf_one), gf_many, h, p, flag)
+    t_group_fec, t1_gf = chain_time(_fec_jit(gf_one), gf_many, h, p, flag)
     kbytes, _, stats = pipe.step(h, p, flag)
     ldpc_iters = int(stats["ldpc_iters"])
 

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spec.ldpc_tables import LDPCCode
+from ..utils.runtime import fec_jit
 
 BETA = 1
 MSG_LO, MSG_HI = -32, 31
@@ -83,8 +84,8 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
         return jnp.clip(x32, -128, 127).astype(jnp.int8)
 
     def kernel(vin_ref, pin_ref,
-               v_ref, p_ref, msgs_ref, iters_ref, conv_ref,
-               rbuf, wbuf, rsem, wsem, isem, done_ref):
+               vout_ref, pout_ref, msgs_ref, iters_ref, conv_ref,
+               v_ref, p_ref, rbuf, wbuf, rsem, wsem, isem, done_ref):
         row0 = jax.lax.broadcasted_iota(jnp.int32, (M, B), 0) == 0
 
         # ---- stage the LLR state into VMEM
@@ -163,30 +164,32 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
             def val32(c):
                 return vals[c].astype(jnp.int32)
 
-            # pass 1: exclusive min / sign parity. Keeping inputs as int8
-            # (they fit by construction) minimizes live VMEM across the two
-            # passes. No first-min index is needed: when mag == min0 the
-            # exclusive min is min1, which equals min0 whenever the minimum
-            # is duplicated — identical to the reference's first-min rule.
+            # pass 1: exclusive min / sign parity. Only ``vals`` (the
+            # pre-update rolled edge values, E int8 buffers) live across
+            # the two passes — inp/mag are recomputed in pass 2 from vals
+            # + rbuf (both unchanged within the layer), trading ~5 cheap
+            # VPU ops per edge for 2E fewer layer-spanning VMEM values.
+            # (Mosaic allocates layer-spanning values poorly across the
+            # fully-unrolled q-layer program: caching inp+mag too pushed
+            # the rate-3/5 kernel's scoped-vmem demand to 109+ MiB and the
+            # r4 VCM step past the 115.8 MiB ceiling; see
+            # tools/probes/ldpc_vmem_probe.py.) No first-min index is
+            # needed: when mag == min0 the exclusive min is min1, which
+            # equals min0 whenever the minimum is duplicated — identical
+            # to the reference's first-min rule.
             def mk_inp(c):
                 return jnp.clip(val32(c) - old_msg(c), -128, 127)
 
             def mag_of(inp32):
                 return jnp.maximum(jnp.minimum(jnp.abs(inp32), 127) - BETA, 0)
 
-            inps8 = []
-            mags8 = []          # pass-1 magnitudes cached for pass 2
             inp = mk_inp(0)
-            inps8.append(inp.astype(jnp.int8))
             min0 = mag_of(inp)
-            mags8.append(min0.astype(jnp.int8))
             min1 = jnp.full((M, B), _INF, jnp.int32)
             sgn = inp < 0
             for c in range(1, E):
                 inp = mk_inp(c)
-                inps8.append(inp.astype(jnp.int8))
                 mag = mag_of(inp)
-                mags8.append(mag.astype(jnp.int8))
                 lower = mag < min0
                 min1 = jnp.where(lower, min0, jnp.minimum(min1, mag))
                 min0 = jnp.minimum(min0, mag)
@@ -194,8 +197,8 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
 
             # pass 2: per-edge check output, message + delta write-back
             for c in range(E):
-                inp = inps8[c].astype(jnp.int32)
-                mag = mags8[c].astype(jnp.int32)
+                inp = mk_inp(c)
+                mag = mag_of(inp)
                 excl = jnp.where(mag == min0, min1, min0)
                 out = jnp.where(sgn ^ (inp < 0), -excl, excl)
                 msg = jnp.clip(out, MSG_LO, MSG_HI)
@@ -257,16 +260,30 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
 
         jax.lax.fori_loop(0, max_trials, trial, 0)
 
+        # ---- ship the VMEM-resident state back to HBM outputs. Keeping
+        # the big outputs in ANY (HBM) keeps them OFF the scoped-vmem
+        # stack: VMEM-space custom-call results are stack-allocated when
+        # the pallas_call sits inside control flow (lax.cond in the VCM
+        # drain scan), which pushed the r4 VCM step past the 115.8 MiB
+        # scoped limit (BENCH_r04). The two copies cost ~10 us at HBM
+        # bandwidth vs ~0.5 ms/iteration of decode.
+        cp_vo = pltpu.make_async_copy(v_ref, vout_ref, isem.at[0])
+        cp_po = pltpu.make_async_copy(p_ref, pout_ref, isem.at[1])
+        cp_vo.start()
+        cp_po.start()
+        cp_vo.wait()
+        cp_po.wait()
+
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),          # v in (HBM)
         pl.BlockSpec(memory_space=pl.ANY),          # p in (HBM)
     ]
     out_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),      # v out
-        pl.BlockSpec(memory_space=pltpu.VMEM),      # p out
+        pl.BlockSpec(memory_space=pl.ANY),          # v out (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),          # p out (HBM)
         pl.BlockSpec(memory_space=pl.ANY),          # msgs (HBM)
         pl.BlockSpec(memory_space=pltpu.SMEM),      # iters
-        pl.BlockSpec(memory_space=pltpu.VMEM),      # converged
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # converged (tiny)
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_blocks, M, B), jnp.int8),
@@ -276,6 +293,8 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
         jax.ShapeDtypeStruct((1, B), jnp.int32),
     ]
     scratch_shapes = [
+        pltpu.VMEM((n_blocks, M, B), jnp.int8),         # v (VMEM-resident)
+        pltpu.VMEM((q, M, B), jnp.int8),                # p (VMEM-resident)
         pltpu.VMEM((DEPTH, max_deg, M, B), jnp.int8),   # rbuf
         pltpu.VMEM((DEPTH, max_deg, M, B), jnp.int8),   # wbuf
         pltpu.SemaphoreType.DMA((DEPTH,)),
@@ -285,8 +304,18 @@ def _build_kernel(code: LDPCCode, max_trials: int, B: int, interpret: bool):
     ]
     kwargs = {}
     if not interpret:
+        # Mosaic schedules in discrete modes: demand for the rate-3/5
+        # normal code at B=128 is 116.97 MiB ("fat", chosen for limits
+        # >= ~56 MiB) or ~63 MiB ("tight", only chosen when the limit is
+        # already below its own demand, so never compilable) — measured
+        # via tools/probes/ldpc_vmem_probe.py. The effective per-op
+        # ceiling is min(this, xla_tpu_scoped_vmem_limit_kib - ~8 MiB
+        # program reserve); fec_jit raises the flag to 128 MiB, making
+        # 119 MiB here the binding-but-sufficient request.
+        import os
+        mb = int(os.environ.get("DVBS2RX_LDPC_VMEM_MB", "119"))
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=mb * 1024 * 1024,
         )
     return pl.pallas_call(
         kernel,
@@ -323,7 +352,7 @@ class PallasLDPCDecoder:
                 # (production batches are multiples of 128 lanes anyway).
                 from .ldpc import LDPCDecoder
 
-                self._calls[B] = jax.jit(
+                self._calls[B] = fec_jit(
                     LDPCDecoder(self.code, self.max_trials)._decode_impl
                 )
                 return self._calls[B]
@@ -340,7 +369,7 @@ class PallasLDPCDecoder:
                 hard = (llrs_out < 0).astype(jnp.uint8)
                 return hard, llrs_out, iters[0, 0], conv[0] != 0
 
-            self._calls[B] = jax.jit(decode)
+            self._calls[B] = fec_jit(decode)
         return self._calls[B]
 
     def _decode_impl(self, llrs):

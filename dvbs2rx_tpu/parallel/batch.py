@@ -40,6 +40,7 @@ from ..ops.demap import (
     quantize_llrs,
 )
 from ..rx.receiver import Receiver, RxConfig
+from ..utils.runtime import fec_jit
 
 
 def make_channel_mesh(devices=None):
@@ -163,13 +164,13 @@ class BatchedPipeline:
                     "ldpc_iters": NamedSharding(mesh, P()),
                 },
             )
-            self.step = jax.jit(
+            self.step = fec_jit(
                 step,
                 in_shardings=(spec_in, spec_in, None),
                 out_shardings=out_spec,
             )
         else:
-            self.step = jax.jit(step)
+            self.step = fec_jit(step)
 
     def frame_inputs_from_symbols(self, symbols):
         """Host helper: frame-aligned symbol stream (C, n_syms) -> lane-major

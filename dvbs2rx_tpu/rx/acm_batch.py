@@ -29,6 +29,7 @@ import jax
 import numpy as np
 
 from .receiver import ACMReceiver, RxConfig
+from ..utils.runtime import fec_jit
 
 
 class CallBatcher:
@@ -200,7 +201,7 @@ class BatchedACMReceiver:
             with self._jit_lock:
                 fn = self._vjits.get(key)
                 if fn is None:
-                    fn = jax.jit(self.chans[0]._acm_fec_impl(pls))
+                    fn = fec_jit(self.chans[0]._acm_fec_impl(pls))
                     self._vjits[key] = fn
         kbytes, n_corr, iters, hard_t = fn(llrsT)
         B = args_list[0][0].shape[1]

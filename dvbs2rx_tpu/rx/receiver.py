@@ -66,6 +66,7 @@ def _make_ldpc_decoder(table: str, max_trials: int, impl: str = "auto",
     return _get_ldpc_decoder(table, max_trials, algo, update)
 from ..ops.bch import get_bch_decoder as _get_bch_decoder
 from ..spec.fec_params import DVBS2_MODCODS as _MODCODS
+from ..utils.runtime import fec_jit
 
 
 
@@ -289,7 +290,7 @@ class Receiver:
                 h, p, cc, n_frames=cfg.frame_group, n0_override=n0
             )
         )
-        self._fec_stage = jax.jit(self._fec_stage_impl)
+        self._fec_stage = fec_jit(self._fec_stage_impl)
         self._snr_refine = jax.jit(self._snr_refine_impl)
         self.reset()
 
@@ -1599,7 +1600,7 @@ class ACMReceiver(Receiver):
         key = ("fec", pls)
         fn = self._group_jits.get(key)
         if fn is None:
-            fn = jax.jit(self._acm_fec_impl(pls))
+            fn = fec_jit(self._acm_fec_impl(pls))
             self._group_jits[key] = fn
 
         kbytes, n_corr, iters, hard_t = fn(jnp.asarray(batch_t))

@@ -48,6 +48,7 @@ from ..ops.ffsync import FeedForwardSync, FFSyncState
 from ..ops.frontend import rotate_block
 from ..parallel.batch import make_lane_fn
 from .receiver import Receiver, RxConfig, _snr_refine
+from ..utils.runtime import fec_jit
 
 TAIL = 182          # carried symbols: one extended header window + margin
 FP_MIN, FP_MAX = 2, 90
@@ -107,12 +108,12 @@ class StreamReceiver:
                 jax.ShapeDtypeStruct((n_channels, self.n_in, 2), jnp.float32),
             )
             out_sh = jax.tree.map(leaf_spec, out_shapes)
-            self.step = jax.jit(
+            self.step = fec_jit(
                 step, in_shardings=(state_sh, iq_sh), out_shardings=out_sh,
                 donate_argnums=0,
             )
         else:
-            self.step = jax.jit(step, donate_argnums=0)
+            self.step = fec_jit(step, donate_argnums=0)
 
     # ---------------- state ----------------
 
@@ -448,11 +449,11 @@ class StreamReceiver:
 
             state_tmpl = self.init_state_np()
             state_sh = jax.tree.map(leaf_spec, state_tmpl)
-            return jax.jit(
+            return fec_jit(
                 multi, in_shardings=(state_sh, blocks_sh),
                 donate_argnums=0,
             )
-        return jax.jit(multi, donate_argnums=0)
+        return fec_jit(multi, donate_argnums=0)
 
     # ---------------- re-acquisition (device-side) ----------------
 

@@ -70,6 +70,7 @@ from ..spec.pls import parse_pls
 from ..spec.scramblers import bb_derandomizer_bytes, pl_descrambling_sequence
 from .receiver import RxConfig, RxStats, _make_ldpc_decoder
 from ..ops.bch import get_bch_decoder as _get_bch_decoder
+from ..utils.runtime import fec_jit
 
 DUMMY_PLFRAME_LEN = 3330
 
@@ -210,7 +211,7 @@ class VCMStreamReceiver:
         step_a, step_b_fns = self._build_step()
         self._step_a = jax.jit(step_a, donate_argnums=0)
         self._step_b = [
-            jax.jit(f, donate_argnums=0) for f in step_b_fns
+            fec_jit(f, donate_argnums=0) for f in step_b_fns
         ]
         self._flush_fns = None
         self._reacquire = None
@@ -913,7 +914,7 @@ class VCMStreamReceiver:
                     )
                     return kb, qm[: self.B_fec], nc
 
-                fns.append(jax.jit(fl))
+                fns.append(fec_jit(fl))
             self._flush_fns = fns
         outs = []
         for si in range(self.S):

@@ -1,6 +1,44 @@
 """Runtime environment helpers (compilation cache, device selection)."""
 
+import functools
 import os
+
+# Per-op scoped-VMEM ceiling (KiB) for programs embedding the Pallas LDPC
+# kernel. The rate-3/5 normal kernel at 128 lanes demands 116.96 MiB of
+# scoped VMEM (Mosaic's "fat" schedule; tools/probes/ldpc_vmem_probe.py) —
+# above the default ~115.8 MiB ceiling, which OOMed the r4 VCM step at
+# compile time (BENCH_r04) — plus ~2 MiB of cond-in-scan stack inside the
+# VCM drain. XLA subtracts a per-program reserve (~8 MiB observed) from
+# this flag before enforcing it, so request the full 128 MiB core VMEM;
+# the compiler still fails loudly if a program genuinely cannot fit.
+FEC_SCOPED_VMEM_KIB = 131072
+
+
+def fec_compiler_options():
+    """Compiler options for programs that embed the Pallas LDPC kernel
+    (None off-TPU)."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(FEC_SCOPED_VMEM_KIB)}
+
+
+def fec_jit(fun=None, **kw):
+    """``jax.jit`` for programs embedding the Pallas LDPC kernel: on TPU,
+    raises the per-op scoped-vmem ceiling so the kernel compiles inside
+    control flow (lax.cond / lax.scan) at 128 lanes. A plain jax.jit
+    elsewhere. Inner-jit options are ignored when a jitted function is
+    inlined into an outer trace, so the OUTERMOST jit around the decode
+    must be the one using this wrapper."""
+    import jax
+
+    if fun is None:
+        return functools.partial(fec_jit, **kw)
+    opts = fec_compiler_options()
+    if opts is not None:
+        kw.setdefault("compiler_options", opts)
+    return jax.jit(fun, **kw)
 
 
 def respect_platform_env():
