@@ -65,7 +65,24 @@ K_FE = 33      # front-end chain length
 REPS = 5       # wall-clock repetitions per measured dispatch
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1140"))
+
+# headline keys promoted from detail into the compact stdout record (the
+# driver's tail capture holds ~2000 chars; r4's full merged record outgrew
+# it and the round lost every number — the full record now lives in
+# docs/bench_latest.json, committed by the build loop)
+_HEADLINE_KEYS = (
+    "frontend_msps", "group_fec_msps", "ldpc_iters", "post_fec_ber",
+    "sustained_msps", "sustained_device_msps", "sustained_scan_msps",
+    "sustained_ok", "sustained_bch_errors",
+    "vcm_sustained_msps", "vcm_step_ms", "vcm_ok", "vcm_frames_ratio",
+    "vcm_bch_errors", "vcm_warm_bch_errors",
+    "acm_msps_per_stream", "acm_msps_c8", "acm_c8_vs_serial",
+    "elapsed_s",
+)
+_FULL_RECORD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "bench_latest.json"
+)
 
 
 def budget_left():
@@ -73,8 +90,31 @@ def budget_left():
 
 
 def emit(result):
-    """Print+flush the full record NOW (the driver reads the last line)."""
-    print(json.dumps(result), flush=True)
+    """Persist the FULL record to docs/bench_latest.json, then print+flush
+    a compact headline-only JSON line (always < 2000 chars; the driver
+    reads the last stdout line)."""
+    try:
+        os.makedirs(os.path.dirname(_FULL_RECORD_PATH), exist_ok=True)
+        with open(_FULL_RECORD_PATH, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    detail = result.get("detail", {})
+    head = {k: result[k] for k in ("metric", "value", "unit", "vs_baseline")
+            if k in result}
+    for k in _HEADLINE_KEYS:
+        if k in detail:
+            head[k] = detail[k]
+    for k, v in detail.items():
+        if k.endswith("_error") or k.endswith("_skipped"):
+            head[k] = str(v)[:120]
+    head["full_record"] = "docs/bench_latest.json"
+    line = json.dumps(head)
+    if len(line) > 1950:        # hard cap: drop notes, keep numbers
+        head = {k: v for k, v in head.items()
+                if not isinstance(v, str) or len(v) < 40}
+        line = json.dumps(head)[:1950]
+    print(line, flush=True)
     sys.stdout.flush()
 
 
@@ -446,7 +486,10 @@ def measure_vcm(C=64, F=2, W=40, esn0_db=13.0):
     for w in range(2):
         state, outputs, stats = step_i(state, jnp.int32(w))
     frames_warm = int(stats["frames"])  # honest-blocking readback
-    errs_warm = int(np.asarray(outputs["n_corr"]).sum() < 0)
+    # per-lane audit of the warm-up drains (same math as the timed loop)
+    nc_w = np.asarray(outputs["n_corr"])           # (S, DRAIN, B_fec)
+    fired_w = np.asarray(outputs["fired"]).astype(bool)
+    errs_warm = int((nc_w[fired_w] < 0).sum())
 
     all_stats, all_out = [], []
     t0 = time.perf_counter()
@@ -490,6 +533,8 @@ def measure_vcm(C=64, F=2, W=40, esn0_db=13.0):
         "vcm_frames_decoded": decoded,
         "vcm_dummies": dummies,
         "vcm_bch_errors": errs,
+        "vcm_warm_bch_errors": errs_warm,
+        "vcm_warm_frames": frames_warm,
         "vcm_locked_end": locked_end,
         "vcm_ok": bool(ok),
         "vcm_note": (
@@ -853,9 +898,12 @@ def main():
     # safe); later sections re-emit the merged record as new lines
     emit(result)
 
+    # vcm first: it is the r5 gate (hardware-verified VCM perf) and also
+    # the costliest section to compile — it must not inherit a spent
+    # budget from the others
     for name, fn, min_budget in (
+        ("vcm", measure_vcm, 300),
         ("sustained", measure_sustained, 240),
-        ("vcm", measure_vcm, 240),
         ("acm", measure_acm, 180),
     ):
         if budget_left() < min_budget:

@@ -835,6 +835,19 @@ class VCMStreamReceiver:
                     n0col = jnp.where(
                         cnt > 0, 1.0 / jnp.maximum(mean, 1e-9), n0col
                     )
+                    # a channel whose lanes in this batch ALL failed BCH
+                    # drops its refined carry (0 = use data-aided): a
+                    # stale overconfident N0 from before an SNR drop
+                    # (rain fade) would otherwise keep scaling LLRs hot
+                    # while every decode fails, with only a full unlock
+                    # able to clear it (r4 advisor, medium)
+                    cnt_all = jnp.sum(
+                        (chan[:, None] == jnp.arange(C)[None, :])
+                        .astype(jnp.float32), axis=0
+                    )
+                    n0col = jnp.where(
+                        (cnt_all > 0) & (cnt == 0), 0.0, n0col
+                    )
                     q2 = jnp.concatenate(
                         [q[:, self.B_fec:],
                          jnp.zeros((self.n_ldpc, self.B_fec), jnp.int8)],
@@ -1188,7 +1201,11 @@ class VCMStreamEngine:
             info = self.sr._infos[si]
             const, rate = _MODCODS[info.modcod]
             name = f"{const.lower()}{rate}"
-            n0 = float(self._n0_ref[0, si])
+            # refined N0 averaged over the channels that have decoded
+            # this PLS (nonzero carry) — channel 0 alone may not even
+            # carry it on multi-channel engines (r4 advisor, low)
+            col = self._n0_ref[:, si]
+            n0 = float(col[col > 0].mean()) if (col > 0).any() else 0.0
             per_plsync[pls] = {"modcod": name, "frames": st["fec_frames"]}
             per_fec[pls] = {
                 "modcod": name,

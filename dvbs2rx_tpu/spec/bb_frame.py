@@ -153,7 +153,12 @@ class BBFrameParser:
 
         out = []
         remaining = df.size - pos
-        while remaining >= TS_PACKET_LENGTH:
+        # completion gate counts the carried partial: a short datafield
+        # (DFL < 1504 bits) can still complete a carried packet with
+        # fewer than 188 fresh bytes — the native loop and the reference
+        # bbdeheader complete whenever partial + remaining reach 188
+        # (r4 advisor, low)
+        while remaining + self.partial.size >= TS_PACKET_LENGTH:
             if self.partial.size > 0:
                 need = TS_PACKET_LENGTH - self.partial.size
                 packet = np.concatenate([self.partial, df[pos: pos + need]])
@@ -176,7 +181,9 @@ class BBFrameParser:
             out.append(ts_pkt)
 
         if remaining > 0:
-            self.partial = df[pos:].copy()
+            # append to (not replace) any carried partial the gate could
+            # not complete
+            self.partial = np.concatenate([self.partial, df[pos:]])
 
         return (
             np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
@@ -215,8 +222,11 @@ class BBFrameParser:
             self.partial = np.empty(0, dtype=np.uint8)
 
         out = []
-        # same completion gate as the loop path (bit-identical semantics)
-        if self.partial.size > 0 and df.size - pos >= TS_PACKET_LENGTH:
+        # same completion gate as the loop path (bit-identical semantics):
+        # partial + fresh bytes reaching 188 completes, even on short DFLs
+        if self.partial.size > 0 and (
+            self.partial.size + df.size - pos >= TS_PACKET_LENGTH
+        ):
             # the one cross-frame packet: its CRC window spans two frames,
             # so the host checks it (187 bytes, once per frame)
             need = TS_PACKET_LENGTH - self.partial.size
@@ -253,7 +263,7 @@ class BBFrameParser:
             pos += n * TS_PACKET_LENGTH
             out.append(ts.reshape(-1))
         if df.size - pos > 0:
-            self.partial = df[pos:].copy()
+            self.partial = np.concatenate([self.partial, df[pos:]])
         return (
             np.concatenate(out) if out else np.empty(0, dtype=np.uint8)
         )

@@ -275,3 +275,85 @@ def test_batch_stitcher_matches_per_frame(native, monkeypatch):
             getattr(p.stats, attr) for p in parsers
         ), attr
     assert st.error_cnt >= 1 and st.bbframe_drop_cnt >= 1
+
+
+def _ragged_frames(n_pkts=20, seed=17, kbch_bytes=879):
+    """Hand-built BBFRAMEs with short/ragged datafields (DFL < 1504 bits):
+    the reference permits any DFL, and a carried partial packet may need
+    FEWER than 188 fresh bytes to complete (bbdeheader_bb_impl.cc)."""
+    rng = np.random.default_rng(seed)
+    pkts = rng.integers(0, 256, (n_pkts, 188), dtype=np.uint8)
+    pkts[:, 0] = pl_defs.TS_SYNC_BYTE
+    pkts[:, 1] &= 0x7F
+    # mode adaptation: sync byte -> CRC-8 of previous packet's payload
+    ups = pkts.copy()
+    last = 0
+    for i in range(n_pkts):
+        ups[i, 0] = last
+        last = crc8(pkts[i, 1:])
+    stream = ups.reshape(-1)
+
+    frames, o = [], 0
+    sizes = [188, 100, 90, 186, 250, 47, 141, 188, 376, 60]
+    k = 0
+    while o < stream.size - 400:
+        L = sizes[k % len(sizes)]
+        k += 1
+        syncd_b = (-o) % pl_defs.TS_PACKET_LENGTH
+        if L < syncd_b:            # a UP start must fall inside the DF
+            L = syncd_b + 10
+        df = stream[o: o + L]
+        hdr = np.zeros(10, dtype=np.uint8)
+        upl = pl_defs.TS_PACKET_LENGTH * 8
+        hdr[2], hdr[3] = upl >> 8, upl & 0xFF
+        hdr[4], hdr[5] = (L * 8) >> 8, (L * 8) & 0xFF
+        hdr[6] = pl_defs.TS_SYNC_BYTE
+        hdr[7], hdr[8] = (syncd_b * 8) >> 8, (syncd_b * 8) & 0xFF
+        hdr[9] = crc8(hdr[:9])
+        frame = np.zeros(kbch_bytes, dtype=np.uint8)   # padded to kbch
+        frame[:10] = hdr
+        frame[10: 10 + L] = df
+        frames.append(frame)
+        o += L
+    return pkts, np.stack(frames)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_ragged_dfl_partial_carry(native, monkeypatch):
+    """Short datafields complete a carried partial with < 188 fresh bytes
+    (r4 advisor: the Python fallback gated on df-remaining >= 188 and then
+    REPLACED the carried partial, silently dropping bytes)."""
+    from dvbs2rx_tpu.io import native as native_mod
+
+    if native and not native_mod.available():
+        pytest.skip("native extension unavailable")
+    pkts, frames = _ragged_frames()
+    p, ts = run_parser(frames, frames.shape[1] * 8, native, monkeypatch)
+    assert ts.shape[0] >= pkts.shape[0] - 3
+    start = assert_contiguous_run(pkts, ts)
+    n = ts.shape[0]
+    np.testing.assert_array_equal(ts, pkts[start: start + n])
+    assert p.stats.error_cnt == 0
+    assert p.stats.bbframe_gap_cnt == 0
+
+
+def test_ragged_dfl_flagged_matches(monkeypatch):
+    """The device-flagged stitch path agrees with the CRC-computing path
+    on ragged datafields too."""
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.ops.crc8_dev import packet_validity
+
+    pkts, frames = _ragged_frames(seed=23)
+    ok_np, hdr_np = (np.asarray(x) for x in
+                     packet_validity(jnp.asarray(frames)))
+    p_ref, ts_ref = run_parser(frames, frames.shape[1] * 8, False,
+                               monkeypatch)
+    p_flag = BBFrameParser(frames.shape[1] * 8)
+    out = [
+        p_flag.push(f, pkt_ok=ok_np[i], hdr_ok=bool(hdr_np[i]))
+        for i, f in enumerate(frames)
+    ]
+    ts_flag = np.concatenate(out).reshape(-1, pl_defs.TS_PACKET_LENGTH)
+    np.testing.assert_array_equal(ts_flag, ts_ref)
+    assert p_flag.stats.__dict__ == p_ref.stats.__dict__

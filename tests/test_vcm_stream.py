@@ -229,13 +229,15 @@ def test_vcm_stream_snr_refinement():
         assert abs(sec["snr"] - esn0_db) < 1.0, (pls, sec["snr"])
 
 
-def test_vcm_stream_mixed_frame_sizes():
+def test_vcm_stream_mixed_frame_sizes(monkeypatch):
     """Normal + short FECFRAMEs interleaved in ONE stream: per-PLS queues
     pad to the larger code; the chain walk and both FEC branches handle
     the size mix (the reference decodes whatever PLS arrives,
     plsync_cc_impl.cc:805-955)."""
     PLS_N = make_pls(4, False, False)     # qpsk1/2 normal
-    CFGS[PLS_N] = TxConfig(modcod="qpsk1/2", frame_size="normal")
+    monkeypatch.setitem(
+        CFGS, PLS_N, TxConfig(modcod="qpsk1/2", frame_size="normal")
+    )
     ts_in, iq = vcm_waveform((PLS_A, PLS_N), [0, 1], n_pkts=700, seed=91)
     cfg = RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True,
                    pls_expected=(PLS_A, PLS_N))
@@ -254,3 +256,97 @@ def test_vcm_stream_rejects_bad_config():
             RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True),
             n_channels=1,
         )  # no expected PLS set
+
+
+def test_dirty_batch_resets_refined_n0():
+    """A drained FEC batch whose lanes ALL fail BCH for a channel drops
+    that channel's refined-N0 carry back to data-aided (r4 advisor,
+    medium: a stale overconfident N0 latched before an SNR drop would
+    otherwise keep FEC failing until a full unlock)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+                   pls_expected=(PLS_A,), ldpc_max_trials=2)
+    sr = VCMStreamReceiver(cfg, n_channels=2, frames_per_step=2,
+                           fec_lanes=4)
+    state = sr.init_state_np()
+    rng = np.random.default_rng(0)
+    # undecodable garbage LLRs in a full 4-lane queue, 2 lanes per channel
+    state["qllr"][0, :, : sr.B_fec] = rng.integers(
+        -30, 31, (sr.n_ldpc, sr.B_fec), dtype=np.int8
+    )
+    state["qmeta"][0, : sr.B_fec, 0] = [0, 0, 1, 1]
+    state["qfill"][0] = sr.B_fec
+    state["n0_refined"][:] = 0.05            # stale engaged carry
+    state = jax.device_put(state)
+
+    B = sr.B_lanes
+    zero8 = jnp.zeros((sr.n_ldpc, B), jnp.int8)
+    zerox = jnp.zeros((sr.R_SUB * 2, B), jnp.int8)
+    meta = jnp.zeros((B, 2), jnp.int32)
+    sels = jnp.zeros((sr.S, B), bool)
+    state, outputs, _ = sr._step_b[0](state, zero8, zerox, meta, sels)
+    assert bool(np.asarray(outputs["fired"]).any())
+    assert (np.asarray(outputs["n_corr"])[
+        np.asarray(outputs["fired"]).astype(bool)
+    ] < 0).all(), "garbage LLRs unexpectedly decoded"
+    n0_ref = np.asarray(state["n0_refined"])
+    assert (n0_ref[:, 0] == 0).all(), n0_ref
+
+
+def test_sharded_vcm_matches_unsharded():
+    """VCM step over a 2-device channel mesh: identical per-(channel, seq)
+    decoded frames as the single-device engine (pooling is per-shard, so
+    only drain cadence differs; per-lane convergence freezing keeps frame
+    results composition-independent)."""
+    import jax
+
+    from dvbs2rx_tpu.parallel.vcm_shard import ShardedVCMStreamReceiver
+    from dvbs2rx_tpu.parallel.batch import make_channel_mesh
+    from dvbs2rx_tpu.ops import cplx
+
+    C, D, W = 4, 2, 8
+    ts_in, iq1 = vcm_waveform((PLS_A, PLS_B), [0, 1], n_pkts=400, seed=55)
+    iq = np.stack([iq1] * C)
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="short", acm_vcm=True,
+                   pls_expected=(PLS_A, PLS_B))
+    mesh = make_channel_mesh(jax.devices()[:D])
+    ssr = ShardedVCMStreamReceiver(cfg, n_channels=C, mesh=mesh,
+                                   frames_per_step=2, fec_lanes=8)
+    usr = VCMStreamReceiver(cfg, n_channels=C, frames_per_step=2,
+                            fec_lanes=8)
+
+    def collect(sr, state, n_drain):
+        got = {}
+        for i in range(W):
+            blk = cplx.from_np(
+                iq[:, sr._n_fe + i * sr.n_in: sr._n_fe + (i + 1) * sr.n_in]
+            ).astype(np.float32)
+            state, outputs, stats = sr.step(state, blk)
+            kb = np.asarray(outputs["kb"])
+            meta = np.asarray(outputs["meta"])
+            nc = np.asarray(outputs["n_corr"])
+            fired = np.asarray(outputs["fired"])
+            for si in range(sr.S):
+                for d in range(n_drain):
+                    if not fired[si, d]:
+                        continue
+                    assert (nc[si, d] >= 0).all(), "BCH failure"
+                    for j in range(kb.shape[2]):
+                        c, seq = int(meta[si, d, j, 0]), int(meta[si, d, j, 1])
+                        got[(c, seq, si)] = kb[si, d, j].tobytes()
+        return got
+
+    st_s = ssr.prime(iq[:, : ssr._n_fe])
+    assert ssr.prime_ok.all()
+    st_u = usr.prime(iq[:, : usr._n_fe])
+    got_s = collect(ssr, st_s, ssr.DRAIN)
+    got_u = collect(usr, st_u, usr.DRAIN)
+    # every frame the unsharded engine decoded in-window must match;
+    # cadence differences may leave a few frames still queued in one of
+    # the two at the cut-off
+    common = set(got_s) & set(got_u)
+    assert len(common) >= max(8, int(0.7 * len(got_u)))
+    for k in common:
+        assert got_s[k] == got_u[k], f"frame {k} diverged"
