@@ -434,8 +434,15 @@ def measure_vcm(C=64, F=2, W=40, esn0_db=13.0):
     from dvbs2rx_tpu.tx.transmitter import awgn_channel
     from dvbs2rx_tpu.tx.vcm import VCMTransmitter
 
-    pls_a = make_pls(4, False, False)    # qpsk1/2 normal
-    pls_b = make_pls(12, False, False)   # 8psk3/5 normal (MODCOD 12)
+    # PILOTED normal frames: DVB-S2 ACM/VCM deployments run pilots on,
+    # and pilotless normal FECFRAMEs are physically incompatible with a
+    # closed-loop CFO residual above 1/(2L) ~ 1.5e-5 (the pilotless fine
+    # estimator aliases; the r5 limit-cycle study in
+    # tools/probes/vcm_hw_diag.py). The pilot-mode fine range (3.39e-4)
+    # covers the front end's coarse-estimator bias with 20x margin.
+    pls_a = make_pls(4, False, True)     # qpsk1/2 normal, pilots
+    pls_b = make_pls(12, False, True)    # 8psk3/5 normal, pilots (MODCOD 12)
+    from dvbs2rx_tpu.spec.pls import parse_pls
     cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
                    pls_expected=(pls_a, pls_b))
     sr = VCMStreamReceiver(cfg, n_channels=C, frames_per_step=F)
@@ -443,10 +450,10 @@ def measure_vcm(C=64, F=2, W=40, esn0_db=13.0):
 
     # ---- periodic 2-PLS stimulus (whole alternating frame pairs) ----
     vtx = VCMTransmitter([
-        TxConfig(modcod="qpsk1/2", frame_size="normal"),
-        TxConfig(modcod="8psk3/5", frame_size="normal"),
+        TxConfig(modcod="qpsk1/2", frame_size="normal", pilots=True),
+        TxConfig(modcod="8psk3/5", frame_size="normal", pilots=True),
     ])
-    pair_syms = 32490 + 21690
+    pair_syms = parse_pls(pls_a).plframe_len + parse_pls(pls_b).plframe_len
     n_pairs = max(2, -(-sr._n_fe // (pair_syms * cfg.sps)) + 1)
     rng = np.random.default_rng(11)
     df_bytes = (vtx.txs[0].df_bytes + vtx.txs[1].df_bytes)

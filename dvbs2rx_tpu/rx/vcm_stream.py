@@ -203,6 +203,25 @@ class VCMStreamReceiver:
             min(f.nldpc // i.n_mod for f, i in zip(self._fecs, infos)),
         )
         self.XF_SCALE = 32.0
+        # closed-loop coarse re-application floor (see the rotator update
+        # in _build_step): with any pilotless PLS expected, residuals the
+        # per-frame fine estimator aliases on (> ~1/(4 L_max)) must keep
+        # being closed by the full-PLHEADER coarse; all-pilots sets can
+        # leave anything under the pilot-mode fine range to the fine loop
+        if all(i.has_pilots for i in infos):
+            self._coarse_reapply_min = plsync.FINE_FOFFSET_CORR_RANGE
+        else:
+            # the pilotless per-frame fine estimator is unambiguous only
+            # for |f| < 1/(2 L): a closed-loop residual beyond that reads
+            # ALIASED (wrong magnitude and often wrong sign), so feeding
+            # it back walks the rotator AWAY (r5 limit-cycle study,
+            # tools/probes/vcm_hw_diag.py). Split the loop at half the
+            # alias range: fine applies only readings it can trust
+            # (|fine| < 1/(4 L_max)); anything larger is closed by the
+            # continuously-firing full-PLHEADER coarse. A static residual
+            # below the alias limit is harmless either way — the demap
+            # corrects each frame's own measured phase ramp.
+            self._coarse_reapply_min = 1.0 / (4.0 * self.L_max)
 
         # The step is 1 + S jitted programs: A = front end + chain walk +
         # demap + control (everything but FEC), then ONE program per
@@ -254,7 +273,6 @@ class VCMStreamReceiver:
             "seq": np.zeros((C,), np.int32),
             # frequency tracking
             "coarse_acc": np.zeros((C, 89, 2), np.float32),
-            "coarse_acc_sof": np.zeros((C, 25, 2), np.float32),
             "coarse_frames": np.zeros((C,), np.int32),
             "coarse_foffset": np.zeros((C,), np.float32),
             "coarse_corrected": np.zeros((C,), bool),
@@ -649,34 +667,33 @@ class VCMStreamReceiver:
             )
             locked = unlock < cfg.unlock_thresh
 
-            # ---- coarse CFO accumulation (SOF-only until corrected,
-            # full PLHEADER after; reference plsync_cc_impl.cc:510-566) ----
+            # ---- coarse CFO accumulation: FULL-PLHEADER always. The walk
+            # differentially decodes every PLSC even before CFO correction,
+            # so modulation removal over all 90 symbols is available from
+            # the first frame — unlike the reference, which must start
+            # SOF-only (plsync_cc_impl.cc:510-566). The SOF-only (25-lag)
+            # estimator's noise+ISI floor at coarse_period accumulation is
+            # ~1e-4..8e-4 (tools/probes/sof bias study, r5) — comparable to
+            # FINE_FOFFSET_CORR_RANGE, so one unlucky fire could latch a
+            # false rotator CFO that the aliasing-limited pilotless fine
+            # (range 1/(2L) ~ 1.5e-5 for normal frames) can never observe.
+            # The 89-lag full estimator is ~30x finer.
             r_full = plsync.coarse_autocorr(
                 slots["own_hdr"].reshape(K * C, 90, 2),
                 pls_s.reshape(K * C), full=True,
             ).reshape(K, C, 89, 2)
-            r_sof = plsync.coarse_autocorr(
-                slots["own_hdr"].reshape(K * C, 90, 2),
-                pls_s.reshape(K * C), full=False,
-            ).reshape(K, C, 25, 2)
             def coarse_body(carry, x):
-                acc_f, acc_s, cf, settle, corrected, coarse_est, nc = carry
-                act, r_f, r_s = x
+                acc_f, cf, settle, corrected, coarse_est, nc = carry
+                act, r_f = x
                 in_settle = settle > 0
                 settle = jnp.where(act & in_settle, settle - 1, settle)
                 skip_k = (~act) | (in_settle & (~corrected))
-                use_full = corrected
                 acc_f = jnp.where(
-                    (skip_k | ~use_full)[:, None, None], acc_f, acc_f + r_f
-                )
-                acc_s = jnp.where(
-                    (skip_k | use_full)[:, None, None], acc_s, acc_s + r_s
+                    skip_k[:, None, None], acc_f, acc_f + r_f
                 )
                 cf = jnp.where(skip_k, cf, cf + 1)
                 fire = cf >= cfg.coarse_period
-                est_f = plsync.coarse_foffset_from_autocorr(acc_f)
-                est_sf = plsync.coarse_foffset_from_autocorr(acc_s)
-                est_new = jnp.where(use_full, est_f, est_sf)
+                est_new = plsync.coarse_foffset_from_autocorr(acc_f)
                 coarse_est = jnp.where(fire, est_new, coarse_est)
                 corrected = jnp.where(
                     fire,
@@ -684,19 +701,18 @@ class VCMStreamReceiver:
                     corrected,
                 )
                 acc_f = jnp.where(fire[:, None, None], 0.0, acc_f)
-                acc_s = jnp.where(fire[:, None, None], 0.0, acc_s)
                 cf = jnp.where(fire, 0, cf)
-                return (acc_f, acc_s, cf, settle, corrected, coarse_est,
+                return (acc_f, cf, settle, corrected, coarse_est,
                         nc | fire), None
 
-            (acc_f, acc_s, cf, settle, corrected, coarse_est, new_coarse), \
+            (acc_f, cf, settle, corrected, coarse_est, new_coarse), \
                 _ = jax.lax.scan(
                     coarse_body,
-                    (state["coarse_acc"], state["coarse_acc_sof"],
+                    (state["coarse_acc"],
                      state["coarse_frames"], state["settle"],
                      state["coarse_corrected"], state["coarse_foffset"],
                      jnp.zeros((C,), bool)),
-                    (valid, r_full, r_sof),
+                    (valid, r_full),
                 )
 
             # ---- closed-loop rotator update (block granular) ----
@@ -710,10 +726,22 @@ class VCMStreamReceiver:
             cum = state["cum_foffset"]
             rot_inc = state["rot_inc"]
             can = settle <= 0
+            # a fired coarse estimate above the re-application floor takes
+            # precedence EVEN WHEN CORRECTED: the pilotless per-frame fine
+            # aliases at 1/(2L), so only the continuously-running coarse
+            # can close residuals between ~1e-5 and the fine range — the
+            # closed loop holds |residual| under the fine capture range
+            # instead of latching whatever the first coarse fire left
+            coarse_due = new_coarse & (
+                jnp.abs(coarse_est) > self._coarse_reapply_min
+            )
+            fine_ok = have_fine & (
+                jnp.abs(fine_last) < self._coarse_reapply_min
+            )
             adj = jnp.where(
-                corrected & have_fine,
-                fine_last,
-                jnp.where(new_coarse & (~corrected), coarse_est, 0.0),
+                coarse_due,
+                coarse_est,
+                jnp.where(corrected & fine_ok, fine_last, 0.0),
             )
             adj = jnp.where(can, adj, 0.0)
             applied = adj != 0.0
@@ -724,7 +752,6 @@ class VCMStreamReceiver:
             settle = jnp.where(applied, self._settle0, settle)
             wipe = applied & (~corrected)
             acc_f = jnp.where(wipe[:, None, None], 0.0, acc_f)
-            acc_s = jnp.where(wipe[:, None, None], 0.0, acc_s)
             cf = jnp.where(wipe, 0, cf)
 
             new_state = dict(
@@ -733,7 +760,6 @@ class VCMStreamReceiver:
                 pls=new_pls,
                 seq=state["seq"] + counts,
                 coarse_acc=acc_f,
-                coarse_acc_sof=acc_s,
                 coarse_frames=cf,
                 coarse_foffset=coarse_est,
                 coarse_corrected=corrected,
@@ -1123,8 +1149,6 @@ class VCMStreamReceiver:
                 pls=mk(pls.astype(jnp.int32), state["pls"]),
                 coarse_acc=mk(jnp.zeros_like(state["coarse_acc"]),
                               state["coarse_acc"]),
-                coarse_acc_sof=mk(jnp.zeros_like(state["coarse_acc_sof"]),
-                                  state["coarse_acc_sof"]),
                 coarse_frames=mk(zc, state["coarse_frames"]),
                 unlock_cnt=mk(zc, state["unlock_cnt"]),
                 # refined N0 is stale after re-acquisition: back to

@@ -165,3 +165,45 @@ def test_vcm_stream_receiver_on_hw():
     assert frames >= 8
     assert errs == 0
     assert bool(np.asarray(stats["locked"]).all())
+
+
+def test_vcm_product_shape_compiles_on_hw():
+    """AOT-compile the VCM step programs at the BENCH shape (64 channels,
+    qpsk1/2 + 8psk3/5 normal FECFRAMEs, 128 FEC lanes). The r4 bench died
+    on a compile-time scoped-VMEM OOM at exactly this shape while the toy
+    on-hw test passed — VMEM-budget failures are shape-dependent, so the
+    tier must compile what the bench runs (VERDICT r4 item 4)."""
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.rx.vcm_stream import VCMStreamReceiver
+    from dvbs2rx_tpu.spec.pls import make_pls
+
+    cfg = RxConfig(
+        modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
+        pls_expected=(make_pls(4, False, False), make_pls(12, False, False)),
+    )
+    sr = VCMStreamReceiver(cfg, n_channels=64, frames_per_step=2,
+                           fec_lanes=128)
+    state = sr.init_state_np()
+    B = sr.B_lanes
+    llr8 = jnp.zeros((sr.n_ldpc, B), jnp.int8)
+    xf8 = jnp.zeros((sr.R_SUB * 2, B), jnp.int8)
+    meta = jnp.zeros((B, 2), jnp.int32)
+    sels = jnp.zeros((sr.S, B), bool)
+    iq = jax.ShapeDtypeStruct((64, sr.n_in, 2), jnp.float32)
+    sr._step_a.lower(state, iq).compile()
+    for si in range(sr.S):
+        sr._step_b[si].lower(state, llr8, xf8, meta, sels).compile()
+
+
+def test_ccm_product_shape_compiles_on_hw():
+    """AOT-compile the CCM stream step at the BENCH shape (64 channels,
+    normal FECFRAMEs, 128-lane pooled FEC)."""
+    from dvbs2rx_tpu.rx.receiver import RxConfig
+    from dvbs2rx_tpu.rx.stream import StreamReceiver
+
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal",
+                   sym_sync_impl="ffw", fec_batch=128)
+    sr = StreamReceiver(cfg, n_channels=64, frames_per_step=2)
+    state = sr.init_state_np()
+    iq = jax.ShapeDtypeStruct((64, sr.n_in, 2), jnp.float32)
+    sr.step.lower(state, iq).compile()

@@ -350,3 +350,60 @@ def test_sharded_vcm_matches_unsharded():
     assert len(common) >= max(8, int(0.7 * len(got_u)))
     for k in common:
         assert got_s[k] == got_u[k], f"frame {k} diverged"
+
+
+def test_vcm_piloted_normal_steady_state():
+    """The bench operating point at small scale: piloted qpsk1/2 + 8psk3/5
+    NORMAL frames, enough steps to pass the first coarse-CFO fire (~step
+    12). Guards the r5 closed-loop regression: an unnecessary coarse
+    application used to latch a rotator residual beyond the pilotless
+    fine aliasing limit and kill FEC from step ~12 on — with pilots the
+    loop must hold |cum_foffset| ~1e-6 and decode clean throughout."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvbs2rx_tpu.ops import cplx
+    from dvbs2rx_tpu.spec.pls import parse_pls
+
+    pls_a = make_pls(4, False, True)     # qpsk1/2 normal, pilots
+    pls_b = make_pls(12, False, True)    # 8psk3/5 normal, pilots
+    cfg = RxConfig(modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
+                   pls_expected=(pls_a, pls_b))
+    sr = VCMStreamReceiver(cfg, n_channels=1, frames_per_step=2,
+                           fec_lanes=8)
+    vtx = VCMTransmitter([
+        TxConfig(modcod="qpsk1/2", frame_size="normal", pilots=True),
+        TxConfig(modcod="8psk3/5", frame_size="normal", pilots=True),
+    ])
+    pair = parse_pls(pls_a).plframe_len + parse_pls(pls_b).plframe_len
+    n_pairs = max(2, -(-sr._n_fe // (pair * 2)) + 1)
+    rng = np.random.default_rng(11)
+    df = sum(t.df_bytes for t in vtx.txs)
+    pkts = make_ts((n_pairs * df) // 188 + 2, seed=11)
+    syms = vtx.modulate_ts(pkts, [0, 1])[: n_pairs * pair]
+    wave3 = vtx.txs[0].pulse_shape(np.tile(syms, 3))
+    period = n_pairs * pair * 2
+    mid = wave3[period: 2 * period]
+    esn0 = 10 ** (13.0 / 10)
+    noise = rng.normal(0, np.sqrt(2 / esn0 / 2), (period, 2))
+    wave = (mid + noise @ np.array([1, 1j])).astype(np.complex64)
+
+    state = sr.prime(np.resize(wave, sr._n_fe)[None])
+    assert sr.prime_ok.all()
+    off0 = sr._n_fe % period
+    src2 = jnp.asarray(cplx.from_np(
+        np.concatenate([wave, wave[: sr.n_in]])).astype(np.float32))
+
+    fired_total = errs = 0
+    for i in range(18):
+        off = (off0 + i * sr.n_in) % period
+        blk = jax.lax.dynamic_slice(src2, (off, 0), (sr.n_in, 2))
+        state, outputs, stats = sr.step(state, blk[None])
+        fired = np.asarray(outputs["fired"]).astype(bool)
+        nc = np.asarray(outputs["n_corr"])
+        fired_total += int(fired.sum())
+        errs += int((nc[fired] < 0).sum())
+    assert fired_total >= 4, "too few FEC drains fired"
+    assert errs == 0, f"{errs} BCH failures after the coarse fire"
+    assert abs(float(np.asarray(stats["cum_foffset"])[0])) < 1e-5
+    assert bool(np.asarray(stats["locked"]).all())
