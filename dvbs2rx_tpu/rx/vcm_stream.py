@@ -266,7 +266,12 @@ class VCMStreamReceiver:
             "rot_inc": np.zeros((C,), np.float32),
             "agc_gain": np.ones((C,), np.float32),
             # symbol ring (right-aligned) + chain carry
-            "symbuf": np.zeros((C, self.N_SYM, 2), np.float32),
+            # rail-major (C, 2, N_SYM): every consumer (ring shift,
+            # header windows, payload slices) moves data along the
+            # lane-tiled N axis; the planar (C, N, 2) ring forced a
+            # 68 MB minor-dim-2 relayout copy every step (6.2 ms of
+            # the 19 ms r5 step; HLO copy.524)
+            "symbuf": np.zeros((C, 2, self.N_SYM), np.float32),
             "symfill": np.zeros((C,), np.int32),
             "fp_right": np.zeros((C,), np.int32),   # frame start from right
             "pls": np.zeros((C,), np.int32),
@@ -322,7 +327,8 @@ class VCMStreamReceiver:
         sfill = sfill - consumed
         underflow = sfill < (n_fe - n_in)
         symbuf = jnp.concatenate(
-            [state["symbuf"][:, n_out:], syms], axis=1
+            [state["symbuf"][:, :, n_out:],
+             jnp.transpose(syms, (0, 2, 1))], axis=2
         )
         symfill = jnp.minimum(state["symfill"] + n_out, self.N_SYM)
         new_state = dict(
@@ -332,9 +338,15 @@ class VCMStreamReceiver:
         )
         return new_state, overflow, underflow
 
-    def _hdr3_at(self, symbuf, pos):
+    def _hdr3_at(self, symbuf_T, pos):
         """94-symbol window [pos-2, pos+92) per channel + 3-point metric,
-        ``pos`` = nominal SOF start.
+        ``pos`` = nominal SOF start. ``symbuf_T`` is the RAIL-MAJOR (C, 2,
+        N_SYM) view of the symbol ring: slicing the planar (C, N_SYM, 2)
+        ring inside the walk scan made XLA demand a minor-dim-2 layout for
+        the whole ring and relayout-copy all 68 MB of it every step at
+        ~12.5% lane utilization (6.2 ms of the r5 19 ms step; HLO
+        copy.528). The rail-major view transposes once per step at full
+        lane width; the per-slot windows transpose back at 94-symbol size.
 
         Returns (m3 (C, 3), ext94 (C, 94, 2)): m3[:, o] is the frame metric
         for SOF offset d = o-1, and the offset-d header is
@@ -342,9 +354,14 @@ class VCMStreamReceiver:
         """
         C = self.n_channels
         p = jnp.clip(pos - 2, 0, self.N_SYM - 94)
-        ext = jax.vmap(
-            lambda s, i: jax.lax.dynamic_slice(s, (i, 0), (94, 2))
-        )(symbuf, p)                                    # (C, 94, 2)
+        ext_r = jax.vmap(
+            lambda s, i: jax.lax.dynamic_slice(s, (0, i), (2, 94))
+        )(symbuf_T, p)                                  # (C, 2, 94)
+        # pin the tiny window BEFORE transposing: without the barrier,
+        # XLA back-propagates the transposed (minor-dim-2) layout demand
+        # through the walk's while carry onto the whole 68 MB ring and
+        # re-materializes it with a 6.2 ms relayout copy every step
+        ext = jax.lax.optimization_barrier(ext_r).transpose(0, 2, 1)
         wins = jnp.stack(
             [ext[:, o: o + 91] for o in range(3)], axis=1
         )                                               # (C, 3, 91, 2)
@@ -384,14 +401,14 @@ class VCMStreamReceiver:
         pos, pls, valid, own_hdr, own_metric, next_pls, next_hdr.
         """
         C = self.n_channels
-        symbuf = state["symbuf"]
+        symbuf_T = state["symbuf"]          # rail-major (C, 2, N_SYM)
         corrected = state["coarse_corrected"]
         L_tab = jnp.asarray(self._L_tab)
 
         fp0 = self.N_SYM - state["fp_right"]
         # first frame: 3-point re-align + header slice (the intra-step
         # analog of the CCM stream's frame-alignment DLL)
-        m3, ext = self._hdr3_at(symbuf, fp0)
+        m3, ext = self._hdr3_at(symbuf_T, fp0)
         center = m3[:, 1]
         shift = jnp.where(
             center + 1e-3 >= jnp.max(m3, axis=1),
@@ -412,7 +429,7 @@ class VCMStreamReceiver:
             pos, pls, alive, own_hdr, m_own = carry
             L = _tab_lookup(self._L_tab, pls).astype(jnp.int32)
             nxt_nom = pos + L
-            m3n, extn = self._hdr3_at(symbuf, nxt_nom)
+            m3n, extn = self._hdr3_at(symbuf_T, nxt_nom)
             cn = m3n[:, 1]
             shiftn = jnp.where(
                 cn + 1e-3 >= jnp.max(m3n, axis=1),
@@ -610,14 +627,14 @@ class VCMStreamReceiver:
             pay = jax.vmap(
                 lambda sb, ps: jax.vmap(
                     lambda p: jax.lax.dynamic_slice(
-                        sb, (p, 0), (self.Lp_max, 2)
+                        sb, (0, p), (2, self.Lp_max)
                     )
                 )(ps)
             )(symbuf, jnp.clip(d_pos + 90, 0, self.N_SYM - self.Lp_max))
-            # (C, FP, Lp_max, 2)
+            # (C, FP, 2, Lp_max) rail-major
 
             hdr_l = d_hdr.reshape(B, 90, 2)
-            pay_l = pay.reshape(B, self.Lp_max, 2)
+            pay_l = pay.reshape(B, 2, self.Lp_max).transpose(0, 2, 1)
             nxtph_l = d_nxtph.reshape(B)
             pls_l = d_pls.reshape(B)
             valid_l = d_valid.reshape(B)
@@ -819,13 +836,16 @@ class VCMStreamReceiver:
                     sel[:, None]
                     & (lrank[:, None] == jnp.arange(B)[None, :])
                 ).astype(jnp.float32)                    # (B, B)
+                # bf16 is exact here: operands are int8 in [-127, 127]
+                # (< 2^8, exactly representable) and each output row of a
+                # permutation matmul has exactly one nonzero product, so
+                # no summation error either — and bf16 runs the MXU at
+                # full rate where HIGHEST pays multi-pass f32
                 comp = jnp.matmul(
-                    llr8.astype(jnp.float32), perm,
-                    precision=jax.lax.Precision.HIGHEST,
+                    llr8.astype(jnp.bfloat16), perm.astype(jnp.bfloat16)
                 ).astype(jnp.int8)                       # (N, B)
                 compx = jnp.matmul(
-                    xf8.astype(jnp.float32), perm,
-                    precision=jax.lax.Precision.HIGHEST,
+                    xf8.astype(jnp.bfloat16), perm.astype(jnp.bfloat16)
                 ).astype(jnp.int8)                       # (R_SUB*2, B)
                 compm = jnp.matmul(
                     perm.T, meta.astype(jnp.float32),
@@ -1062,7 +1082,7 @@ class VCMStreamReceiver:
             # rewind so fp_right marks the frame start; keep ALL symbols
             # from the SOF on in the ring, the raw tail in sbuf
             keep_syms = n_out - int(sof[c])
-            state["symbuf"][c, self.N_SYM - n_out:] = syms[c]
+            state["symbuf"][c, :, self.N_SYM - n_out:] = syms[c].T
             state["symfill"][c] = n_out
             state["fp_right"][c] = keep_syms
             state["pls"][c] = int(pls[c])
@@ -1118,8 +1138,10 @@ class VCMStreamReceiver:
             smask = jnp.asarray(self._search_mask)
             pls, _ = plsync.plsc_decode_diff(hdr, enabled_mask=smask)
 
-            pad = jnp.zeros((C, self.N_SYM - n_out, 2), jnp.float32)
-            symbuf = jnp.concatenate([pad, syms], axis=1)
+            pad = jnp.zeros((C, 2, self.N_SYM - n_out), jnp.float32)
+            symbuf = jnp.concatenate(
+                [pad, jnp.transpose(syms, (0, 2, 1))], axis=2
+            )
             tail_pad = jnp.zeros(
                 (C, max(self.N_BUF - n_fe, 0), 2), jnp.float32
             )

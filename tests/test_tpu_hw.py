@@ -179,7 +179,7 @@ def test_vcm_product_shape_compiles_on_hw():
 
     cfg = RxConfig(
         modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
-        pls_expected=(make_pls(4, False, False), make_pls(12, False, False)),
+        pls_expected=(make_pls(4, False, True), make_pls(12, False, True)),
     )
     sr = VCMStreamReceiver(cfg, n_channels=64, frames_per_step=2,
                            fec_lanes=128)
