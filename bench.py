@@ -118,12 +118,26 @@ def emit(result):
     sys.stdout.flush()
 
 
-def chain_time(f1, fK, *args):
-    """Per-stage device compute via fused data-dependent chaining."""
+def _sync(out):
+    """Force completion via a device->host READBACK of one small leaf.
+
+    ``jax.block_until_ready`` on this environment's tunneled device can
+    return without waiting (it was honest-after-first-readback through
+    r4; in r5 it regressed to never-honest and the CCM stage times
+    collapsed to ~0). A readback is unconditionally honest.
+    """
     import jax
 
-    jax.block_until_ready(f1(*args))
-    jax.block_until_ready(fK(*args))
+    leaves = jax.tree.leaves(out)
+    small = min(leaves, key=lambda x: getattr(x, "size", 1))
+    np.asarray(small)
+    return out
+
+
+def chain_time(f1, fK, *args):
+    """Per-stage device compute via fused data-dependent chaining."""
+    _sync(f1(*args))
+    _sync(fK(*args))
 
     def t(f):
         # min over repetitions: dispatch latency through the tunneled
@@ -131,7 +145,7 @@ def chain_time(f1, fK, *args):
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*args))
+            _sync(f(*args))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -617,15 +631,14 @@ def measure_acm(esn0_db=6.0):
         return chain_time_k(one, many, K, *args)
 
     def chain_time_k(f1, fk, k, *args):
-        import jax as _j
-        _j.block_until_ready(f1(*args))
-        _j.block_until_ready(fk(*args))
+        _sync(f1(*args))
+        _sync(fk(*args))
 
         def t(f):
             best = float("inf")
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                _j.block_until_ready(f(*args))
+                _sync(f(*args))
                 best = min(best, time.perf_counter() - t0)
             return best
         return max((t(fk) - t(f1)) / (k - 1), 1e-9)
@@ -847,11 +860,11 @@ def main():
         return st, chk
 
     def t_min(f):
-        jax.block_until_ready(f(states, samples))
+        _sync(f(states, samples))
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(states, samples))
+            _sync(f(states, samples))
             best = min(best, time.perf_counter() - t0)
         return best
 

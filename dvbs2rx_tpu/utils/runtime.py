@@ -28,17 +28,38 @@ def fec_jit(fun=None, **kw):
     """``jax.jit`` for programs embedding the Pallas LDPC kernel: on TPU,
     raises the per-op scoped-vmem ceiling so the kernel compiles inside
     control flow (lax.cond / lax.scan) at 128 lanes. A plain jax.jit
-    elsewhere. Inner-jit options are ignored when a jitted function is
-    inlined into an outer trace, so the OUTERMOST jit around the decode
-    must be the one using this wrapper."""
+    elsewhere.
+
+    JAX rejects calling a compiler_options-carrying jit from inside
+    another trace, so when invoked nested the wrapper inlines the raw
+    function into the outer trace instead — the OUTERMOST jit around the
+    decode must then be a fec_jit itself (every product entry point is)."""
     import jax
 
     if fun is None:
         return functools.partial(fec_jit, **kw)
     opts = fec_compiler_options()
-    if opts is not None:
-        kw.setdefault("compiler_options", opts)
-    return jax.jit(fun, **kw)
+    if opts is None:
+        return jax.jit(fun, **kw)
+    jitted = jax.jit(fun, compiler_options=opts, **kw)
+
+    def _tracing():
+        try:
+            return not jax.core.trace_state_clean()
+        except AttributeError:
+            from jax._src import core as _core
+
+            return not _core.trace_state_clean()
+
+    @functools.wraps(fun)
+    def wrapper(*a, **k):
+        if _tracing():
+            return fun(*a, **k)
+        return jitted(*a, **k)
+
+    wrapper.lower = jitted.lower
+    wrapper._jitted = jitted
+    return wrapper
 
 
 def respect_platform_env():

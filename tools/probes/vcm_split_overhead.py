@@ -36,18 +36,22 @@ from dvbs2rx_tpu.tx import TxConfig
 from dvbs2rx_tpu.tx.vcm import VCMTransmitter
 
 
-def build(C=64, F=2, esn0_db=13.0, lanes=None):
+def build(C=64, F=2, esn0_db=13.0, lanes=None, pilots=True):
+    from dvbs2rx_tpu.spec.pls import parse_pls
+
+    pls_a = make_pls(4, False, pilots)
+    pls_b = make_pls(12, False, pilots)
     cfg = RxConfig(
         modcod="qpsk1/2", frame_size="normal", acm_vcm=True,
-        pls_expected=(make_pls(4, False, False), make_pls(12, False, False)),
+        pls_expected=(pls_a, pls_b),
     )
     sr = VCMStreamReceiver(cfg, n_channels=C, frames_per_step=F,
                            fec_lanes=lanes)
     vtx = VCMTransmitter([
-        TxConfig(modcod="qpsk1/2", frame_size="normal"),
-        TxConfig(modcod="8psk3/5", frame_size="normal"),
+        TxConfig(modcod="qpsk1/2", frame_size="normal", pilots=pilots),
+        TxConfig(modcod="8psk3/5", frame_size="normal", pilots=pilots),
     ])
-    pair_syms = 32490 + 21690
+    pair_syms = parse_pls(pls_a).plframe_len + parse_pls(pls_b).plframe_len
     n_pairs = max(2, -(-sr._n_fe // (pair_syms * cfg.sps)) + 1)
     rng = np.random.default_rng(11)
     df_bytes = sum(tx.df_bytes for tx in vtx.txs)
