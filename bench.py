@@ -65,7 +65,7 @@ K_FE = 33      # front-end chain length
 REPS = 5       # wall-clock repetitions per measured dispatch
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1140"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1250"))
 
 # headline keys promoted from detail into the compact stdout record (the
 # driver's tail capture holds ~2000 chars; r4's full merged record outgrew
@@ -917,6 +917,14 @@ def main():
     # CCM headline is on the record the moment it exists (driver-timeout
     # safe); later sections re-emit the merged record as new lines
     emit(result)
+
+    # release the CCM section's device arrays + compiled-step references
+    # before the stream sections: the VCM step measured ~1.4x slower
+    # in-process than standalone (452 -> 314 Msps) with these alive
+    import gc
+
+    del pipe, h, p, states, samples, kbytes, stats
+    gc.collect()
 
     # vcm first: it is the r5 gate (hardware-verified VCM perf) and also
     # the costliest section to compile — it must not inherit a spent
