@@ -65,7 +65,7 @@ K_FE = 33      # front-end chain length
 REPS = 5       # wall-clock repetitions per measured dispatch
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1250"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 
 # headline keys promoted from detail into the compact stdout record (the
 # driver's tail capture holds ~2000 chars; r4's full merged record outgrew
@@ -931,8 +931,8 @@ def main():
     # budget from the others
     for name, fn, min_budget in (
         ("vcm", measure_vcm, 300),
-        ("sustained", measure_sustained, 240),
         ("acm", measure_acm, 180),
+        ("sustained", measure_sustained, 240),
     ):
         if budget_left() < min_budget:
             result["detail"][f"{name}_skipped"] = (
